@@ -1,0 +1,109 @@
+"""Train state: params, BN stats, Adam + poly LR, EMA trees.
+
+Optimizer parity with the reference (`main.py:294-310`):
+
+* torch ``Adam(lr, weight_decay)`` — weight decay is an L2 term added to the
+  gradient *before* the Adam moments (not AdamW), reproduced with
+  ``optax.add_decayed_weights`` ahead of ``scale_by_adam``;
+* poly LR over *epochs*: ``lr(e) = (base - min) * (1 - e/E)^power + min``
+  (`main.py:294-297`), stepped per optimizer step via ``step // steps_per_epoch``.
+
+EMA parity (`models/rcf_model.py:525-529`, `utils/model_utils.py:33-38`):
+the backbone and mask head keep an exponential moving average of params
+AND BatchNorm statistics, updated every step with momentum ``ema_m``.
+Here the EMA is a pair of subtree pytrees updated with a fused
+``tree_map`` lerp inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+EMA_SUBTREES = ("backbone2", "decode_head2")
+
+
+def poly_epoch_schedule(base_lr: float, min_lr: float, power: float, epochs: int, steps_per_epoch: int):
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, epochs)
+        coeff = (1.0 - epoch / epochs) ** power
+        return (base_lr - min_lr) * coeff + min_lr
+
+    return schedule
+
+
+def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    name = str(cfg.get("optimizer", "adam")).lower()
+    schedule = poly_epoch_schedule(
+        base_lr=float(cfg.learning_rate),
+        min_lr=float(cfg.lr_scheduler_kwargs.get("min_lr", 0.0)),
+        power=float(cfg.lr_scheduler_kwargs.get("power", 0.9)),
+        epochs=int(cfg.epochs),
+        steps_per_epoch=steps_per_epoch,
+    )
+    wd = float(cfg.get("weight_decay", 0.0))
+    if name == "adam":
+        core = optax.scale_by_adam()
+    elif name == "adamw":
+        core = optax.scale_by_adam()
+        # AdamW applies decay after the moment update; reorder below.
+    elif name == "sgd":
+        core = optax.identity()
+    else:
+        raise ValueError(f"unsupported optimizer {name}")
+    if name == "adamw":
+        return optax.chain(core, optax.add_decayed_weights(wd), optax.scale_by_learning_rate(schedule))
+    return optax.chain(optax.add_decayed_weights(wd), core, optax.scale_by_learning_rate(schedule))
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Any = None   # {backbone2, decode_head2} subtrees or None
+    ema_stats: Any = None
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def ema_subtrees(tree: Any) -> Any:
+    return {k: tree[k] for k in EMA_SUBTREES if k in tree}
+
+
+def ema_update(ema: Any, current: Any, m: float) -> Any:
+    """dest = dest * m + src * (1 - m), matching the reference momentum."""
+    sub = ema_subtrees(current)
+    return jax.tree_util.tree_map(lambda e, c: e * m + c.astype(e.dtype) * (1.0 - m), ema, sub)
+
+
+def create_train_state(cfg, model, variables, steps_per_epoch: int, with_ema: bool | None = None) -> TrainState:
+    tx = make_optimizer(cfg, steps_per_epoch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if with_ema is None:
+        with_ema = bool(cfg.model_kwargs.get("backbone2", {}).get("create_ema", False))
+    ema_params = ema_subtrees(params) if with_ema else None
+    ema_stats = ema_subtrees(batch_stats) if with_ema else None
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=ema_params,
+        ema_stats=ema_stats,
+        tx=tx,
+    )
