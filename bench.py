@@ -1,0 +1,101 @@
+"""Benchmark: stage-1 RCF training throughput (frames/sec/chip) on TPU.
+
+Runs the real stage-1 model (ResNet50 OS4/8 + FCN heads + relaxed
+common-fate loss + EMA) at the published training shapes (384x384 crops,
+2-frame windows) on synthetic data, measuring steady-state optimizer-step
+throughput on the available chips.
+
+The reference publishes no wall-clock numbers (SURVEY.md §6). `vs_baseline`
+is measured against an estimated 100 frames/s/GPU for the reference's
+PyTorch fp32 stage-1 recipe on an A100 (dilated output-stride-8 ResNet50
+fwd+bwd at 384^2 with batch 8x2 frames) — see BASELINE.md; the absolute
+`value` is the durable metric.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+A100_BASELINE_FRAMES_PER_SEC_PER_GPU = 100.0
+
+
+def main() -> None:
+    import __graft_entry__ as ge
+    from rcf_tpu.config import Config
+    from rcf_tpu.models import build_model
+    from rcf_tpu.parallel import create_mesh, replicate, shard_batch
+    from rcf_tpu.train import create_train_state, make_train_step
+
+    n_chips = len(jax.devices())
+    mesh = create_mesh()
+
+    batch_per_chip = 8  # reference per-GPU batch (README.md:75-77)
+    b, i, hw = batch_per_chip * n_chips, 2, 384
+    model = build_model(ge._model_kwargs(mask_size=(96, 96)))
+    cfg = Config({
+        "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-4,
+        "epochs": 200, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
+        "model_kwargs": {"backbone2": {"create_ema": True}},
+    })
+    rng = np.random.default_rng(0)
+    batch = {
+        "imgs": rng.standard_normal((b, i, hw, hw, 3)).astype(np.float32),
+        "gt_fw_flows": (rng.standard_normal((b, i - 1, hw, hw, 2)) * 5).astype(np.float32),
+        "gt_bw_flows": (rng.standard_normal((b, i - 1, hw, hw, 2)) * 5).astype(np.float32),
+    }
+    init_batch = {k: jnp.asarray(v[:2]) for k, v in batch.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_batch["imgs"], init_batch["gt_fw_flows"], init_batch["gt_bw_flows"], train=True,
+    )
+    state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=216), mesh)
+    sharded = shard_batch(batch, mesh)
+    step = make_train_step(model, donate=True)
+    oc = jnp.zeros((), jnp.int32)
+
+    # Warmup / compile. NOTE: on the axon relay, block_until_ready acks
+    # before remote execution completes — a host read of a chain-final value
+    # is the only reliable fence, so throughput is measured as the marginal
+    # time between two chain lengths, each fenced by reading the last loss.
+    _log(f"compiling train step on {n_chips} chip(s), batch {b}x{i} frames @ {hw}^2")
+    t0 = time.perf_counter()
+    state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
+    np.asarray(losses["loss"])
+    _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
+
+    def run_chain(n_steps: int, s) -> float:
+        t0 = time.perf_counter()
+        for k in range(n_steps):
+            s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc)
+        np.asarray(losses["loss"])  # forces the whole chain
+        return time.perf_counter() - t0
+
+    short, long_ = 5, 25
+    t_short = run_chain(short, state)
+    t_long = run_chain(long_, state)
+    per_step = (t_long - t_short) / (long_ - short)
+
+    fps_per_chip = b * i / per_step / n_chips
+    print(json.dumps({
+        "metric": "rcf_stage1_train_throughput",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_per_chip / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

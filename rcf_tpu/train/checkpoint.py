@@ -1,0 +1,267 @@
+"""Checkpoint save/restore (orbax) + PyTorch checkpoint importers.
+
+Save side: parity with the reference's ModelCheckpoint policy
+(`main.py:434-436`): every epoch, keep top-k=2 on the monitored metric
+plus `last`. Restore side covers the reference's dispatch zoo
+(`main.py:76-142`):
+
+* DenseCL / plain torchvision-style ResNet state dicts (``conv1.weight``);
+* MoCo v1/v2 (``module.encoder_q.*`` prefix, fc dropped);
+* reference Lightning checkpoints (``model.*`` prefix) — full RCF model
+  import incl. both FCN heads and the flow head, with the EMA-expansion
+  rule (EMA missing in ckpt but present in model → copy main weights);
+* our own orbax checkpoints.
+
+Torch tensors are converted: conv OIHW -> HWIO, 1x1-conv-as-dense
+[out, in, 1] -> [in, out], BN weight/bias -> scale/bias and
+running_mean/var -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..utils import get_logger
+
+logger = get_logger()
+
+# ---------------------------------------------------------------------------
+# Orbax save/restore of the native TrainState.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+        "ema_stats": state.ema_stats,
+    }
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(path, tree, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, state):
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+        "ema_stats": state.ema_stats,
+    }
+    with ocp.StandardCheckpointer() as saver:
+        restored = saver.restore(os.path.abspath(path), tree)
+    return state.replace(**restored)
+
+
+class TopKKeeper:
+    """Keep top-k checkpoints by metric plus `last` (main.py:434-436)."""
+
+    def __init__(self, ckpt_dir: str, k: int = 2):
+        self.ckpt_dir = ckpt_dir
+        self.k = k
+        self.kept: list[tuple[float, str]] = []
+
+    def save(self, state, metric: float, tag: str) -> None:
+        import shutil
+
+        save_checkpoint(self.ckpt_dir, "last", state)
+        if len(self.kept) < self.k or metric > min(m for m, _ in self.kept):
+            name = f"ckpt_{tag}_miou{metric:.4f}"
+            save_checkpoint(self.ckpt_dir, name, state)
+            self.kept.append((metric, name))
+            self.kept.sort(key=lambda t: -t[0])
+            for _, old in self.kept[self.k :]:
+                shutil.rmtree(os.path.join(self.ckpt_dir, old), ignore_errors=True)
+            self.kept = self.kept[: self.k]
+
+
+# ---------------------------------------------------------------------------
+# Torch -> Flax import.
+# ---------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _conv(sd, key):
+    return np.transpose(_t(sd[key]), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _bn(params, stats, sd, torch_prefix, path):
+    _set(params, path + ("scale",), _t(sd[f"{torch_prefix}.weight"]))
+    _set(params, path + ("bias",), _t(sd[f"{torch_prefix}.bias"]))
+    _set(stats, path + ("mean",), _t(sd[f"{torch_prefix}.running_mean"]))
+    _set(stats, path + ("var",), _t(sd[f"{torch_prefix}.running_var"]))
+
+
+_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def import_resnet(sd: dict, depth: int = 50, prefix: str = "") -> tuple[dict, dict]:
+    """Torch(vision/mmcls) ResNet state dict -> (params, batch_stats) subtrees."""
+    params: dict = {}
+    stats: dict = {}
+    p = prefix
+    _set(params, ("conv1", "kernel"), _conv(sd, f"{p}conv1.weight"))
+    _bn(params, stats, sd, f"{p}bn1", ("bn1",))
+    bottleneck = depth not in (18, 34)
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(_STAGE_BLOCKS[depth]):
+        for blk in range(blocks):
+            tb = f"{p}layer{stage + 1}.{blk}"
+            fb = f"layer{stage + 1}_{blk}"
+            for ci in range(1, n_convs + 1):
+                _set(params, (fb, f"conv{ci}", "kernel"), _conv(sd, f"{tb}.conv{ci}.weight"))
+                _bn(params, stats, sd, f"{tb}.bn{ci}", (fb, f"bn{ci}"))
+            if f"{tb}.downsample.0.weight" in sd:
+                _set(params, (fb, "ds_conv", "kernel"), _conv(sd, f"{tb}.downsample.0.weight"))
+                _bn(params, stats, sd, f"{tb}.downsample.1", (fb, "ds_bn"))
+    return params, stats
+
+
+def import_fcn_head(sd: dict, prefix: str, num_convs: int = 2, concat_input: bool = False):
+    """Reference FCNHead state dict subtree -> (params, batch_stats)."""
+    params: dict = {}
+    stats: dict = {}
+    for i in range(num_convs):
+        _set(params, (f"conv{i}", "Conv_0", "kernel"), _conv(sd, f"{prefix}convs.{i}.conv.weight"))
+        _bn(params, stats, sd, f"{prefix}convs.{i}.bn", (f"conv{i}", "BatchNorm_0"))
+    if concat_input:
+        _set(params, ("conv_cat", "Conv_0", "kernel"), _conv(sd, f"{prefix}conv_cat.conv.weight"))
+        _bn(params, stats, sd, f"{prefix}conv_cat.bn", ("conv_cat", "BatchNorm_0"))
+    _set(params, ("conv_seg", "kernel"), _conv(sd, f"{prefix}conv_seg.weight"))
+    _set(params, ("conv_seg", "bias"), _t(sd[f"{prefix}conv_seg.bias"]))
+    return params, stats
+
+
+def import_flow_head(sd: dict, prefix: str):
+    """Reference FlowAggregationHeadWithResidual -> params subtree."""
+    params: dict = {}
+    # flow_feat_before_agg: Sequential [Conv2d, LeakyReLU, Conv2d, LeakyReLU].
+    for out_name, idx in (("flow_feat_conv0", 0), ("flow_feat_conv1", 2)):
+        _set(params, (out_name, "kernel"), _conv(sd, f"{prefix}flow_feat_before_agg.{idx}.weight"))
+        _set(params, (out_name, "bias"), _t(sd[f"{prefix}flow_feat_before_agg.{idx}.bias"]))
+    # flow_feat_after_agg: Conv1d(k=1) == Dense over features: [out,in,1] -> [in,out].
+    for out_name, idx in (("flow_agg_fc0", 0), ("flow_agg_fc1", 2)):
+        w = _t(sd[f"{prefix}flow_feat_after_agg.{idx}.weight"])[:, :, 0].T
+        _set(params, (out_name, "kernel"), w)
+        _set(params, (out_name, "bias"), _t(sd[f"{prefix}flow_feat_after_agg.{idx}.bias"]))
+    return params
+
+
+def load_pretrained(path: str, model, variables: dict, backbone_only: bool = False,
+                    drop_decode_head2: bool = False) -> dict:
+    """Dispatch on checkpoint format and merge into `variables` (main.py:76-142)."""
+    import glob as globlib
+
+    import torch
+
+    if "*" in path:
+        matches = globlib.glob(path)
+        assert len(matches) == 1, f"{matches} is not unique"
+        path = matches[0]
+    logger.info(f"Loading pretrained model from {path}")
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    if backbone_only:
+        sd = {k: v for k, v in sd.items() if "backbone" in k}
+    example_key = next(iter(sd))
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                if k in dst and dst[k].shape != v.shape:
+                    raise ValueError(f"shape mismatch importing {k}: {dst[k].shape} vs {v.shape}")
+                dst[k] = v.astype(dst[k].dtype) if k in dst else v
+
+    depth = model.backbone_cfg.get("depth", 50)
+    if example_key.startswith("model."):
+        # Reference Lightning checkpoint: full RCF model.
+        sub = {k[len("model."):]: v for k, v in sd.items()}
+        if drop_decode_head2:
+            sub = {k: v for k, v in sub.items() if "decode_head2" not in k}
+        bp, bs = import_resnet(sub, depth, prefix="backbone2.")
+        merge(params["backbone2"], bp)
+        merge(stats["backbone2"], bs)
+        if any(k.startswith("decode_head2.") for k in sub):
+            hp, hs = import_fcn_head(sub, "decode_head2.",
+                                     num_convs=model.mask_head_cfg.get("num_convs", 2),
+                                     concat_input=model.mask_head_cfg.get("concat_input", False))
+            merge(params["decode_head2"], hp)
+            merge(stats["decode_head2"], hs)
+        if any(k.startswith("decode_head3.") for k in sub):
+            hp, hs = import_fcn_head(sub, "decode_head3.",
+                                     num_convs=model.residual_head_cfg.get("num_convs", 2),
+                                     concat_input=model.residual_head_cfg.get("concat_input", False))
+            merge(params["decode_head3"], hp)
+            merge(stats["decode_head3"], hs)
+        if any(k.startswith("decode_head.") for k in sub):
+            merge(params["flow_head"], import_flow_head(sub, "decode_head."))
+        # EMA: import when present; when absent the caller's init_ema
+        # (copy-from-main in create_train_state) realizes the reference's
+        # EMA-expansion rule (main.py:98-107).
+        if any(k.startswith("backbone2_ema.") for k in sub):
+            ep, es = import_resnet(sub, depth, prefix="backbone2_ema.")
+            ema_params: dict = {"backbone2": ep}
+            ema_stats: dict = {"backbone2": es}
+            if any(k.startswith("decode_head2_ema.") for k in sub):
+                hp, hs = import_fcn_head(sub, "decode_head2_ema.",
+                                         num_convs=model.mask_head_cfg.get("num_convs", 2),
+                                         concat_input=model.mask_head_cfg.get("concat_input", False))
+                ema_params["decode_head2"] = hp
+                ema_stats["decode_head2"] = hs
+            variables = dict(variables)
+            variables["ema_params"] = ema_params
+            variables["ema_stats"] = ema_stats
+    elif example_key.startswith("module."):
+        moco = {}
+        for k, v in sd.items():
+            if k.startswith("module.encoder_q.") and not k.startswith("module.encoder_q.fc"):
+                moco[k[len("module.encoder_q."):]] = v
+        bp, bs = import_resnet(moco, depth)
+        merge(params["backbone2"], bp)
+        merge(stats["backbone2"], bs)
+    elif "conv1.weight" in sd:  # DenseCL
+        bp, bs = import_resnet(sd, depth)
+        merge(params["backbone2"], bp)
+        merge(stats["backbone2"], bs)
+    elif "backbone2.conv1.weight" in sd:
+        bp, bs = import_resnet(sd, depth, prefix="backbone2.")
+        merge(params["backbone2"], bp)
+        merge(stats["backbone2"], bs)
+    else:
+        raise ValueError(f"Unknown checkpoint format (first key: {example_key})")
+
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out
