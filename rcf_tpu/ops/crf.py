@@ -1,0 +1,171 @@
+"""Dense-CRF mean-field refinement, TPU-native.
+
+Capability parity with the reference's CUDA torchCRF extension
+(`tools/torchCRF/src/*.cu`) and its Python wrapper (`models/crf_head.py`):
+
+* unary from a soft binary mask: ``U8 = uint8(clip(mask * 255 / crf_scale))``,
+  ``U = clip(U8 / max(U8), 1e-6, 1 - 1e-6)``, ``unary = -log([1-U, U])``
+  (`models/crf_head.py:39-60`);
+* pairwise Potts potentials as Gaussian kernels over pixel features —
+  appearance ``(x/sxy, y/sxy, r/srgb, g/srgb, b/srgb)`` with weight
+  ``scomp`` and optional smoothness ``(x/sxy_s, y/sxy_s)`` with weight
+  ``scomp_smooth`` (`torchcrf.cu:26-51`);
+* mean field: ``Q0 = softmax(-unary)``; per iteration
+  ``Q = softmax(-unary + sum_k w_k * filter_k(Q))`` where ``filter_k`` is
+  the *normalized* Gaussian filter (the permutohedral slice divides by the
+  filtered homogeneous channel, `permutohedral_gpu.cu:427-452`), and the
+  filter includes the self term;
+* output: the binary MAP map (`densecrf_gpu.cu:145-164`).
+
+TPU-first design: the reference approximates the Gaussian filter with a
+permutohedral lattice (dynamic GPU hash tables — hostile to XLA). Here the
+normalized filter is computed *exactly* as chunked softmax-style attention:
+
+    filter(Q)_i = sum_j exp(-||f_i-f_j||^2/2) Q_j / sum_j exp(-||f_i-f_j||^2/2)
+
+with logits ``f_i . f_j - |f_i|^2/2 - |f_j|^2/2 <= 0`` (numerically safe).
+The O(N^2 d) contraction rides the MXU in tiles; because labels are binary
+only one value channel plus the normalizer is filtered. For the in-training
+loss the CRF can run at a reduced ``resolution`` (the target is consumed at
+mask resolution anyway); post-processing runs at full resolution.
+
+This replaces both the per-image Python loop around `torchcrf_cpp.crf_soft`
+(`models/crf_head.py:102-105`) and the 32-process CPU pydensecrf
+post-processing (`tools/pydenseCRF/crf_parallel.sh`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import resize_bilinear
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def unnormalize_to_uint8(imgs: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet-normalized float images -> uint8 RGB (crf_head.py:33-37,93-98)."""
+    x = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+    x = jnp.clip(x * 255.0, 0.0, 255.0)
+    return x.astype(jnp.uint8)
+
+
+def mask_to_unary(mask: jnp.ndarray, crf_scale: float = 0.7) -> jnp.ndarray:
+    """Soft mask [..., H, W] -> unary energies [..., H, W, 2] (bg, fg)."""
+    u8 = jnp.clip(mask * (255.0 / crf_scale), 0.0, 255.0).astype(jnp.uint8)
+    u = u8.astype(jnp.float32)
+    u = u / (jnp.max(u, axis=(-2, -1), keepdims=True) + 1e-8)
+    u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+    return jnp.stack([-jnp.log(1.0 - u), -jnp.log(u)], axis=-1)
+
+
+def _pixel_features(rgb_u8: jnp.ndarray, sxy: float, srgb: float) -> jnp.ndarray:
+    """[H, W, 3] uint8 -> [H*W, 5] appearance features (torchcrf.cu:40-51)."""
+    h, w, _ = rgb_u8.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) / sxy)[None, :].repeat(h, axis=0)
+    ys = (jnp.arange(h, dtype=jnp.float32) / sxy)[:, None].repeat(w, axis=1)
+    feat = jnp.concatenate(
+        [xs[..., None], ys[..., None], rgb_u8.astype(jnp.float32) / srgb], axis=-1
+    )
+    return feat.reshape(h * w, 5)
+
+
+def _xy_features(h: int, w: int, sxy: float) -> jnp.ndarray:
+    xs = (jnp.arange(w, dtype=jnp.float32) / sxy)[None, :].repeat(h, axis=0)
+    ys = (jnp.arange(h, dtype=jnp.float32) / sxy)[:, None].repeat(w, axis=1)
+    return jnp.stack([xs, ys], axis=-1).reshape(h * w, 2)
+
+
+def _normalized_filter(feat: jnp.ndarray, values: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Exact normalized Gaussian filter via chunked attention.
+
+    feat: [N, D]; values: [N, V] -> [N, V] filtered (self term included).
+    """
+    n, d = feat.shape
+    sq = jnp.sum(feat * feat, axis=-1) * 0.5  # [N]
+    pad = (-n) % chunk
+    feat_p = jnp.pad(feat, ((0, pad), (0, 0)))
+    sq_p = jnp.pad(sq, (0, pad))
+    val_p = jnp.pad(values, ((0, pad), (0, 0)))
+    n_chunks = feat_p.shape[0] // chunk
+    fq = feat_p.reshape(n_chunks, chunk, d)
+    sqq = sq_p.reshape(n_chunks, chunk)
+    # Mask padded keys out of every sum by sending their sq to +inf.
+    key_sq = sq_p.at[n:].set(jnp.inf) if pad else sq_p
+
+    def one_query_chunk(args):
+        f_q, s_q = args  # [chunk, D], [chunk]
+        logits = f_q @ feat_p.T - key_sq[None, :] - s_q[:, None]  # [chunk, Np] <= 0
+        w = jnp.exp(logits)
+        num = w @ val_p  # [chunk, V]
+        den = jnp.sum(w, axis=-1, keepdims=True)
+        return num / den
+
+    out = jax.lax.map(one_query_chunk, (fq, sqq))
+    return out.reshape(n_chunks * chunk, -1)[:n]
+
+
+@dataclass(frozen=True)
+class CRFParams:
+    # Reference defaults: models/crf_head.py:13-27 (RCF config uses these).
+    srgb: float = 5.0
+    scomp: float = 5.0
+    sxy: float = 60.0
+    scomp_smooth: float = 0.0
+    sxy_smooth: float = 0.0
+    refine_iters: int = 50
+    crf_scale: float = 0.7
+
+
+def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
+                    chunk: int = 1024) -> jnp.ndarray:
+    """One image: [H, W, 3] uint8 + [H, W] soft mask -> [H, W] binary MAP."""
+    h, w = mask.shape
+    unary = mask_to_unary(mask, params.crf_scale).reshape(h * w, 2)
+    app_feat = _pixel_features(rgb_u8, params.sxy, params.srgb)
+    use_smooth = params.scomp_smooth > 0.0 and params.sxy_smooth > 0.0
+    smooth_feat = _xy_features(h, w, params.sxy_smooth) if use_smooth else None
+
+    neg_unary = -unary
+    q = jax.nn.softmax(neg_unary, axis=-1)
+
+    def body(_, q):
+        msg = params.scomp * _normalized_filter(app_feat, q, chunk)
+        if use_smooth:
+            msg = msg + params.scomp_smooth * _normalized_filter(smooth_feat, q, chunk)
+        return jax.nn.softmax(neg_unary + msg, axis=-1)
+
+    q = jax.lax.fori_loop(0, params.refine_iters, body, q)
+    return (q[:, 1] > q[:, 0]).astype(jnp.float32).reshape(h, w)
+
+
+def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024, **kwargs):
+    """Batched CRF: (normalized imgs [N, H, W, 3], masks [N, H, W]) -> [N, H, W].
+
+    ``resolution``: optionally run the mean field on a downscaled grid (the
+    in-training CRF target is consumed at mask resolution — see module doc);
+    ``None`` runs at the input resolution (exact reference behavior).
+    """
+    params = CRFParams(**{k: v for k, v in kwargs.items() if k in CRFParams.__dataclass_fields__})
+
+    def crf_fn(imgs: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        n, h, w = masks.shape
+        rgb = unnormalize_to_uint8(imgs)
+        if resolution is not None and (h, w) != tuple(resolution):
+            rgb_f = resize_bilinear(rgb.astype(jnp.float32), tuple(resolution))
+            rgb_run = jnp.clip(rgb_f, 0, 255).astype(jnp.uint8)
+            masks_run = resize_bilinear(masks[..., None], tuple(resolution))[..., 0]
+        else:
+            rgb_run, masks_run = rgb, masks
+        refined = jax.vmap(lambda im, mk: crf_soft_single(im, mk, params, chunk))(rgb_run, masks_run)
+        if refined.shape[1:] != (h, w):
+            refined = resize_bilinear(refined[..., None], (h, w))[..., 0]
+        return refined
+
+    return crf_fn

@@ -1,0 +1,223 @@
+"""End-to-end train/eval harness.
+
+Replaces the reference's Lightning `Model` + `Trainer` stack (`main.py`):
+config-driven dataset/loader construction, a jitted sharded train step,
+per-epoch validation with object-channel election, top-k checkpointing on
+`val_miou_frame_avg`, the final hard-argmax test, and mask export.
+
+Flow of one run (reference `main.py:384-481`):
+  train epochs -> validate every epoch (threshold eval_pos_th, electing the
+  object channel once after `set_object_channel_after_epoch`) -> keep top-2
+  + last checkpoints -> final test with hard argmax (eval_pos_th=-1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, VideoDataset, get_transform
+from ..eval.harness import Evaluator, Exporter, frame_id_from_path
+from ..models import build_model
+from ..parallel import create_mesh, replicate, shard_batch
+from ..utils import get_logger
+from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint
+from .state import create_train_state
+from .step import make_eval_step, make_train_step
+
+logger = get_logger()
+
+
+def _build_loaders(cfg, training: bool):
+    if training:
+        ds = VideoDataset(cfg.data_path, training=True, **cfg.dataset_kwargs.to_dict(),
+                          **cfg.train_dataset_kwargs.to_dict())
+        tf = get_transform(cfg, training=True)
+        global_batch = int(cfg.get("global_batch_size", cfg.batch_size))
+        return DataLoader(
+            ds, tf, batch_size=global_batch, shuffle=True,
+            seed=int(cfg.get("seed", 0)), num_workers=int(cfg.get("workers", 8)),
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+        )
+    data_path = cfg.get("test_data_path") or cfg.data_path
+    kwargs = cfg.test_dataset_kwargs.to_dict()
+    sub = kwargs.pop("subsample_frame_interval", None)
+    ds = VideoDataset(data_path, training=False, **cfg.dataset_kwargs.to_dict(),
+                      subsample_frame_interval=sub, **kwargs)
+    tf = get_transform(cfg, training=False)
+    return DataLoader(
+        ds, tf, batch_size=int(cfg.batch_size), shuffle=False, drop_last=False,
+        num_workers=int(cfg.get("workers", 8)), group_by_shape=True,
+    )
+
+
+def _val_loader(cfg, subsample: int = 10):
+    """Validation = test split subsampled every 10th frame (main.py:339-346)."""
+    data_path = cfg.get("test_data_path") or cfg.data_path
+    kwargs = cfg.test_dataset_kwargs.to_dict()
+    kwargs.pop("subsample_frame_interval", None)
+    ds = VideoDataset(data_path, training=False, **cfg.dataset_kwargs.to_dict(),
+                      subsample_frame_interval=subsample, **kwargs)
+    tf = get_transform(cfg, training=False)
+    return DataLoader(ds, tf, batch_size=int(cfg.batch_size), shuffle=False,
+                      drop_last=False, num_workers=int(cfg.get("workers", 8)),
+                      group_by_shape=True)
+
+
+def _init_variables(cfg, model, rng_seed: int = 0):
+    hw = tuple(cfg.get("train_crop_size", (384, 384)))
+    imgs = jnp.zeros((2, 2, *hw, 3), jnp.float32)
+    flows = jnp.zeros((2, 1, *hw, 2), jnp.float32)
+    return model.init(
+        {"params": jax.random.PRNGKey(rng_seed), "dropout": jax.random.PRNGKey(rng_seed + 1)},
+        imgs, flows, flows, train=True,
+    )
+
+
+def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=False,
+             exporter=None, display_all=False, name="val_miou"):
+    eval_step = make_eval_step(model, use_ema=use_ema)
+    evaluator = Evaluator(
+        eval_pos_th=eval_pos_th,
+        num_channels=model.mask_layer,
+        object_channel=object_channel,
+        exporter=exporter,
+    )
+    for batch in loader:
+        imgs = jnp.asarray(batch["imgs"][:, 0])  # [B, H, W, 3]
+        probs = eval_step(state, imgs)
+        frame_ids = [frame_id_from_path(p[0]) for p in batch["paths"]]
+        evaluator.process_batch(probs, jnp.asarray(batch["ann"]), batch["seq_names"], frame_ids)
+    result = evaluator.finalize(display_all=display_all, name=name)
+    logger.info(result.summary(name))
+    return result
+
+
+def run(cfg, test_only: bool = False, no_test: bool = False):
+    ckpt_dir = cfg.checkpoints_dir
+    os.makedirs(ckpt_dir, exist_ok=bool(cfg.get("allow_overwriting_checkpoints_dir", True)))
+    save_eval = os.path.join(ckpt_dir, cfg.get("saved_eval_dir_name", "saved_eval"))
+    save_export = os.path.join(ckpt_dir, cfg.get("saved_eval_export_dir_name", "saved_eval_export"))
+
+    mesh = create_mesh(tuple(cfg.get("tpu", {}).get("mesh_shape", (-1,)) if "tpu" in cfg else (-1,)))
+    dtype = jnp.bfloat16 if cfg.get("tpu", {}).get("compute_dtype") == "bfloat16" else jnp.float32
+    model = build_model(cfg.model_kwargs.to_dict(), dtype=dtype)
+
+    variables = _init_variables(cfg, model)
+    pretrained = cfg.get("pretrained_model")
+    restore_orbax_from = None
+    ema_override = (None, None)
+    if pretrained:
+        import glob as globlib
+
+        matches = globlib.glob(pretrained) if "*" in pretrained else [pretrained]
+        if matches and os.path.isdir(matches[0]):
+            restore_orbax_from = matches[0]  # our own orbax checkpoint
+        elif matches and os.path.exists(matches[0]):
+            variables = load_pretrained(
+                pretrained, model, variables,
+                backbone_only=bool(cfg.get("pretrained_model_backbone_only", False)),
+                drop_decode_head2=bool(cfg.get("drop_head_decode_head2", False)),
+            )
+            ema_override = (variables.pop("ema_params", None), variables.pop("ema_stats", None))
+        else:
+            logger.warning(f"pretrained_model {pretrained} not found; using fresh init")
+
+    if test_only:
+        steps_per_epoch = 1
+    else:
+        train_loader = _build_loaders(cfg, training=True)
+        steps_per_epoch = max(len(train_loader), 1)
+
+    state = create_train_state(cfg, model, variables, steps_per_epoch)
+    if ema_override[0] is not None:
+        state = state.replace(ema_params=ema_override[0], ema_stats=ema_override[1])
+    if restore_orbax_from is not None:
+        state = restore_checkpoint(restore_orbax_from, state)
+    state = replicate(state, mesh)
+
+    object_channel = cfg.get("object_channel")
+    if object_channel is None and os.environ.get("OBJECT_CHANNEL"):
+        object_channel = int(os.environ["OBJECT_CHANNEL"])
+    logger.info(f"Using {object_channel} as object channel")
+
+    eval_on_ema = bool(cfg.get("eval_on_ema", False))
+
+    if test_only:
+        exporter = None
+        if cfg.get("eval_save") and cfg.get("eval_export"):
+            exporter = Exporter(save_eval, save_export,
+                                export_all_seg=bool(cfg.get("export_all_seg", False)),
+                                object_channel=object_channel or 0)
+        test_loader = _build_loaders(cfg, training=False)
+        result = evaluate(cfg, model, state, test_loader, float(cfg.eval_pos_th),
+                          object_channel, use_ema=eval_on_ema, exporter=exporter,
+                          display_all=True, name="test_miou")
+        return result
+
+    # ---------------- training ----------------
+    train_step = make_train_step(model, donate=True,
+                                 crf_fn=_maybe_crf_fn(cfg, model))
+    keeper = TopKKeeper(ckpt_dir, k=2)
+    base_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    loss_log_interval = int(cfg.get("loss_log_interval", 100))
+    set_after = int(cfg.get("set_object_channel_after_epoch", 1))
+    val_every = int(cfg.get("trainer_kwargs", {}).get("check_val_every_n_epoch", 1)) if "trainer_kwargs" in cfg else 1
+    epochs = int(cfg.get("override_max_epochs", cfg.epochs))
+
+    global_step = 0
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        epoch_t0 = time.time()
+        oc = jnp.asarray(object_channel if object_channel is not None else 0, jnp.int32)
+        for batch in train_loader:
+            sharded = shard_batch(batch, mesh)
+            rng = jax.random.fold_in(base_rng, global_step)
+            state, losses = train_step(state, sharded, rng, oc,
+                                       object_channel_set=object_channel is not None)
+            global_step += 1
+            if global_step % loss_log_interval == 0:
+                vals = {k: float(np.asarray(v)) for k, v in losses.items()}
+                if not np.isfinite(vals["loss"]):
+                    raise RuntimeError(f"loss is NaN at step {global_step}: {vals}")
+                logger.info(f"epoch {epoch} step {global_step}: " +
+                            " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+        logger.info(f"epoch {epoch} done in {time.time() - epoch_t0:.1f}s")
+
+        if (epoch + 1) % val_every == 0:
+            result = evaluate(cfg, model, state, _val_loader(cfg), float(cfg.eval_pos_th),
+                              object_channel, use_ema=eval_on_ema)
+            if object_channel is None and (epoch >= set_after - 1):
+                object_channel = result.elected_channel
+                logger.info(f"Set object channel to {object_channel} "
+                            f"(channel distribution: {result.max_channel_freq})")
+            keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
+
+    if not no_test:
+        exporter = None
+        if cfg.get("eval_save") and cfg.get("eval_export"):
+            exporter = Exporter(os.path.join(ckpt_dir, "saved_eval_test"), save_export,
+                                export_all_seg=bool(cfg.get("export_all_seg", False)),
+                                object_channel=object_channel or 0)
+        test_loader = _build_loaders(cfg, training=False)
+        result = evaluate(cfg, model, state, test_loader, -1.0, object_channel,
+                          use_ema=eval_on_ema, exporter=exporter, display_all=True,
+                          name="test_miou")
+        return result
+    return state
+
+
+def _maybe_crf_fn(cfg, model):
+    if model.w_crf <= 0:
+        return None
+    from ..ops.crf import make_crf_fn
+
+    return make_crf_fn(**(model.crf_head_kwargs or {}))
+
+
+def restore(cfg, model, state, path):
+    return restore_checkpoint(path, state)

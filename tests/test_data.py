@@ -5,32 +5,7 @@ from PIL import Image
 from rcf_tpu.data import DataLoader, EvalTransform, TrainTransform, VideoDataset, parse_split
 
 
-@pytest.fixture(scope="module")
-def davis_like(tmp_path_factory):
-    """Two tiny sequences in the reference's on-disk layout."""
-    root = tmp_path_factory.mktemp("data")
-    rng = np.random.default_rng(0)
-    h, w = 120, 214  # same 480x854 aspect, 4x smaller
-    lines = []
-    for seq, n in (("bear", 4), ("cows", 3)):
-        for sub, mode in (("JPEGImages/480p", "img"), ("Annotations/480p", "ann"),
-                          ("Flows_T/480p", "flow"), ("BackwardFlows_T/480p", "flow")):
-            (root / sub / seq).mkdir(parents=True, exist_ok=True)
-        frames = []
-        for i in range(n):
-            name = f"{i:05d}"
-            img = rng.integers(0, 255, (h, w, 3), np.uint8)
-            Image.fromarray(img).save(root / "JPEGImages/480p" / seq / f"{name}.jpg")
-            ann = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
-            Image.fromarray(ann).save(root / "Annotations/480p" / seq / f"{name}.png")
-            flow = rng.standard_normal((h, w, 2)).astype(np.float32) * 8
-            np.save(root / "Flows_T/480p" / seq / f"{name}.npy", flow)
-            np.save(root / "BackwardFlows_T/480p" / seq / f"{name}.npy", -flow)
-            frames.append(f"{name}.jpg")
-        lines.append(f"JPEGImages/480p/{seq}/ " + " ".join(frames))
-    (root / "trainval.txt").write_text("\n".join(lines) + "\n")
-    (root / "val.txt").write_text("\n".join(lines) + "\n")
-    return root
+# `davis_like` fixture lives in conftest.py (shared with the e2e loop test).
 
 
 def test_parse_split(davis_like):
