@@ -76,8 +76,9 @@ def test_mask_to_unary_quantization_parity():
     # 0.7*255/0.7 = 254.99997 -> trunc 254; 1.0 clips to 255.
     u8 = np.array([0, 127, 254, 255], np.float64)
     u = np.clip(u8 / (u8.max() + 1e-8), 1e-6, 1 - 1e-6)
-    np.testing.assert_allclose(unary[0, :, 1], -np.log(u), rtol=1e-4, atol=1e-7)
-    np.testing.assert_allclose(unary[0, :, 0], -np.log(1 - u), rtol=1e-4, atol=1e-7)
+    # rtol 1e-3: f32 rounding at the 1-1e-6 clip boundary (torch f32 matches).
+    np.testing.assert_allclose(unary[0, :, 1], -np.log(u), rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(unary[0, :, 0], -np.log(1 - u), rtol=1e-3, atol=1e-7)
 
 
 def test_make_crf_fn_batched_and_downscaled():
