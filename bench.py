@@ -63,7 +63,9 @@ def main() -> None:
     )
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=216), mesh)
     sharded = shard_batch(batch, mesh)
-    step = make_train_step(model, donate=True)
+    # donate=False: buffer donation has shown InvalidArgument flakiness
+    # through the axon relay; throughput impact is ~nil at this state size.
+    step = make_train_step(model, donate=False)
     oc = jnp.zeros((), jnp.int32)
 
     # Warmup / compile. NOTE: on the axon relay, block_until_ready acks
@@ -83,10 +85,19 @@ def main() -> None:
         np.asarray(losses["loss"])  # forces the whole chain
         return time.perf_counter() - t0
 
-    short, long_ = 5, 25
-    t_short = run_chain(short, state)
-    t_long = run_chain(long_, state)
-    per_step = (t_long - t_short) / (long_ - short)
+    short, long_ = 3, 13
+    per_step = None
+    for attempt in range(3):
+        try:
+            t_short = run_chain(short, state)
+            t_long = run_chain(long_, state)
+            per_step = (t_long - t_short) / (long_ - short)
+            break
+        except Exception as exc:  # transient relay errors: retry
+            _log(f"attempt {attempt}: {type(exc).__name__}: {exc}; retrying")
+            time.sleep(5)
+    if per_step is None:
+        raise RuntimeError("benchmark failed after 3 attempts")
 
     fps_per_chip = b * i / per_step / n_chips
     print(json.dumps({
