@@ -33,6 +33,15 @@ A100_BASELINE_FRAMES_PER_SEC_PER_GPU = 100.0
 
 
 def main() -> None:
+    # Persist compiled executables across processes (the relay's remote
+    # compile can take minutes; a cached hit skips it entirely).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import __graft_entry__ as ge
     from rcf_tpu.config import Config
     from rcf_tpu.models import build_model

@@ -1,0 +1,96 @@
+"""AMD baseline: appearance-motion decomposition (ablation parity).
+
+Parity with `models/amd/amd_model.py`: the same ResNet backbone + FCN mask
+head as RCF, but motion comes from a *learned* PWC-Lite flownet over
+per-mask constant flow groups; the loss is the unsupervised photometric
+flow loss over both the segment-wise piecewise-constant flows and the
+unconstrained flows (`amd_model.py:194-266`, `models/fcn_head.py:149-209`).
+
+Images are un-normalized back to [0, 1] and resized to (384, 640)
+(align_corners=True) before the flownet (`fcn_head.py:160-167`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...losses.unflow import UnFlowLossCfg, unflow_loss
+from ...nn import FCNHead, ResNet
+from ...ops import resize_bilinear
+from .pwc_lite import PWCLite
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_FLOW_CFG = UnFlowLossCfg(
+    alpha=10, ssim_sz=1, occ_from_back=True, w_l1=0.15,
+    w_scales=(1.0, 1.0, 1.0, 1.0, 0.0), w_sm_scales=(1.0, 0.0, 0.0, 0.0, 0.0),
+    w_real_smooth=0.0, w_ssim=0.85, w_ternary=0.0, warp_pad="border", with_bk=True,
+)
+
+
+def build_amd_model(model_kwargs: dict, dtype=jnp.float32) -> "AMDModel":
+    kwargs = dict(model_kwargs)
+    backbone_cfg = dict(kwargs.pop("backbone2"))
+    backbone_cfg = {k: v for k, v in backbone_cfg.items() if k not in ("create_ema",)}
+    backbone_cfg.pop("type", None)
+    mask_cfg = dict(kwargs.pop("decode_head2"))
+    mask_cfg = {k: v for k, v in mask_cfg.items() if k not in ("type", "create_ema", "loss_decode")}
+    kwargs.pop("decode_head", None)  # flownet config is fixed (create_flownet path)
+    known = set(AMDModel.__dataclass_fields__)
+    kwargs = {k: v for k, v in kwargs.items() if k in known}
+    return AMDModel(backbone_cfg=backbone_cfg, mask_head_cfg=mask_cfg, dtype=dtype, **kwargs)
+
+
+class AMDModel(nn.Module):
+    backbone_cfg: dict
+    mask_head_cfg: dict
+    mask_layer: int = 5
+    w_seg: float = 1.0
+    flow_size: tuple[int, int] = (384, 640)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone2 = ResNet(**self.backbone_cfg, dtype=self.dtype)
+        self.decode_head2 = FCNHead(**self.mask_head_cfg, dtype=self.dtype)
+        self.flownet = PWCLite(mask_layer=self.mask_layer)
+
+    def mask_probs(self, imgs_flat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = self.backbone2(imgs_flat, train=train)
+        logits = self.decode_head2(feats, train=train)
+        return nn.softmax(logits, axis=-1)
+
+    def __call__(self, imgs: jnp.ndarray, train: bool = True):
+        """imgs [B, 2, H, W, 3] normalized. Returns (losses, probs)."""
+        b, im_num = imgs.shape[:2]
+        assert im_num == 2
+        imgs_flat = imgs.reshape(b * im_num, *imgs.shape[2:])
+        feats = self.backbone2(imgs_flat, train=train)
+        logits = self.decode_head2(feats, train=train)
+        h, w = logits.shape[1:3]
+        probs = nn.softmax(logits.reshape(b, im_num, h, w, self.mask_layer), axis=-1)
+
+        # Un-normalize to [0, 1] and resize for the flownet (fcn_head.py:160-167).
+        raw = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+        im1 = resize_bilinear(raw[:, 0], self.flow_size, align_corners=True)
+        im2 = resize_bilinear(raw[:, 1], self.flow_size, align_corners=True)
+
+        res = self.flownet(im1, im2, probs[:, 0], probs[:, 1], with_bk=True)
+
+        def stacked(fw_list, bw_list):
+            return [jnp.concatenate([f, bw], axis=-1) for f, bw in zip(fw_list, bw_list)]
+
+        loss_seg, *_ = unflow_loss(stacked(res["flows_fw"], res["flows_bw"]),
+                                   im1, im2, _FLOW_CFG)
+        loss_all, *_ = unflow_loss(stacked(res["flows_fw_all"], res["flows_bw_all"]),
+                                   im1, im2, _FLOW_CFG)
+        losses = {
+            "loss_warp_seg": loss_seg,
+            "loss_warp_whole": loss_all,
+            "loss": loss_seg * self.w_seg,
+        }
+        return losses, probs

@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from rcf_tpu.losses.unflow import UnFlowLossCfg, area_resize, ssim_dist, ternary_dist, unflow_loss  # noqa: E402
+from rcf_tpu.ops.warp import correlation, flow_warp, occu_mask_backward  # noqa: E402
+
+
+def _torch_flow_warp(x, flow, pad="border"):
+    b, c, h, w = x.shape
+    xs = torch.arange(w).repeat(b, h, 1).float()
+    ys = torch.arange(h).repeat(b, w, 1).transpose(1, 2).float()
+    grid = torch.stack([xs, ys], 1) + flow
+    gx = 2.0 * grid[:, 0] / (w - 1) - 1.0
+    gy = 2.0 * grid[:, 1] / (h - 1) - 1.0
+    g = torch.stack([gx, gy], -1)
+    return F.grid_sample(x, g, mode="bilinear", padding_mode=pad, align_corners=True)
+
+
+@pytest.mark.parametrize("pad", ["border", "zeros"])
+def test_flow_warp_matches_grid_sample(pad):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 10, 12, 3)).astype(np.float32)
+    flow = (rng.standard_normal((2, 10, 12, 2)) * 3).astype(np.float32)
+    ours = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow), pad=pad))
+    theirs = _torch_flow_warp(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(flow).permute(0, 3, 1, 2), pad
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_occu_mask_backward_matches_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.warp_utils import get_occu_mask_backward as ref_fn
+    except Exception:
+        pytest.skip("reference warp_utils not importable")
+    finally:
+        sys.path.pop(0)
+    rng = np.random.default_rng(1)
+    flow = (rng.standard_normal((2, 12, 14, 2)) * 4).astype(np.float32)
+    ours = np.asarray(occu_mask_backward(jnp.asarray(flow), th=0.2))
+    theirs = ref_fn(torch.from_numpy(flow).permute(0, 3, 1, 2), th=0.2)[:, 0].numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_correlation_matches_reference_loop():
+    rng = np.random.default_rng(2)
+    x1 = rng.standard_normal((1, 8, 9, 6)).astype(np.float32)
+    x2 = rng.standard_normal((1, 8, 9, 6)).astype(np.float32)
+    ours = np.asarray(correlation(jnp.asarray(x1), jnp.asarray(x2), max_displacement=2))
+    t1 = torch.from_numpy(x1).permute(0, 3, 1, 2)
+    t2 = F.pad(torch.from_numpy(x2).permute(0, 3, 1, 2), [2] * 4)
+    outs = []
+    for i in range(5):
+        for j in range(5):
+            outs.append(torch.mean(t1 * t2[:, :, i : i + 8, j : j + 9], 1, keepdim=True))
+    theirs = torch.cat(outs, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_ssim_matches_reference():
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 10, 10, 3)).astype(np.float32)
+    y = rng.random((1, 10, 10, 3)).astype(np.float32)
+    ours = np.asarray(ssim_dist(jnp.asarray(x), jnp.asarray(y), md=1))
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ty = torch.from_numpy(y).permute(0, 3, 1, 2)
+    pool = torch.nn.AvgPool2d(3, 1, 0)
+    mu_x, mu_y = pool(tx), pool(ty)
+    sigma_x = pool(tx * tx) - mu_x**2
+    sigma_y = pool(ty * ty) - mu_y**2
+    sigma_xy = pool(tx * ty) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + 0.01**2) * (2 * sigma_xy + 0.03**2)
+    den = (mu_x**2 + mu_y**2 + 0.01**2) * (sigma_x + sigma_y + 0.03**2)
+    theirs = torch.clamp((1 - num / den) / 2, 0, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_ternary_shape_and_border_mask():
+    rng = np.random.default_rng(4)
+    x = rng.random((1, 8, 8, 3)).astype(np.float32)
+    d = np.asarray(ternary_dist(jnp.asarray(x), jnp.asarray(x * 0.9)))
+    assert d.shape == (1, 8, 8, 1)
+    assert (d[:, 0, :] == 0).all() and (d[:, :, 0] == 0).all()
+
+
+def test_area_resize_matches_torch():
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 16, 24, 2)).astype(np.float32)
+    ours = np.asarray(area_resize(jnp.asarray(x), (4, 6)))
+    theirs = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), (4, 6), mode="area")
+    np.testing.assert_allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_amd_model_forward_and_grads():
+    from rcf_tpu.models.amd import build_amd_model
+
+    mk = {
+        "w_seg": 1.0,
+        "mask_layer": 5,
+        "backbone2": {"depth": 18, "num_stages": 4, "out_indices": [0, 1, 2, 3],
+                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
+                      "contract_dilation": True},
+        "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
+                         "channels": 16, "num_convs": 2, "dilation": 6,
+                         "dropout_ratio": 0.1, "num_classes": 5, "concat_input": False},
+        "flow_size": (64, 64),
+    }
+    model = build_amd_model(mk)
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                           imgs, train=True)
+
+    def loss_fn(params):
+        (losses, probs), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, imgs, train=True,
+            rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+        )
+        return losses["loss"], losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    g_flow = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["flownet"]))
+    g_back = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["backbone2"]))
+    assert g_flow > 0 and g_back > 0
