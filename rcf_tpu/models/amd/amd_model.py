@@ -53,6 +53,13 @@ class AMDModel(nn.Module):
     w_seg: float = 1.0
     flow_size: tuple[int, int] = (384, 640)
     dtype: Any = jnp.float32
+    # Harness-contract attributes shared with RCFModel (no CRF/EMA paths):
+    w_crf: float = 0.0
+    crf_use_ema: bool = False
+    crf_head_kwargs: dict | None = None
+    ema_m: float = 0.999
+    align_corners: bool = False
+    mask_size: tuple[int, int] = (96, 96)
 
     def setup(self):
         self.backbone2 = ResNet(**self.backbone_cfg, dtype=self.dtype)
@@ -64,8 +71,14 @@ class AMDModel(nn.Module):
         logits = self.decode_head2(feats, train=train)
         return nn.softmax(logits, axis=-1)
 
-    def __call__(self, imgs: jnp.ndarray, train: bool = True):
-        """imgs [B, 2, H, W, 3] normalized. Returns (losses, probs)."""
+    def __call__(self, imgs: jnp.ndarray, gt_fw_flows=None, gt_bw_flows=None,
+                 pl_masks=None, crf_target_masks=None, object_channel=0,
+                 object_channel_set=False, train: bool = True):
+        """imgs [B, 2, H, W, 3] normalized. Returns (losses, probs).
+
+        Extra arguments exist for train-step signature parity with RCFModel;
+        AMD is fully self-supervised from the learned flownet and ignores them.
+        """
         b, im_num = imgs.shape[:2]
         assert im_num == 2
         imgs_flat = imgs.reshape(b * im_num, *imgs.shape[2:])

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data import DataLoader, VideoDataset, get_transform
 from ..eval.harness import Evaluator, Exporter, frame_id_from_path
-from ..models import build_model
+from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
 from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint
@@ -74,7 +74,7 @@ def _init_variables(cfg, model, rng_seed: int = 0):
     flows = jnp.zeros((2, 1, *hw, 2), jnp.float32)
     return model.init(
         {"params": jax.random.PRNGKey(rng_seed), "dropout": jax.random.PRNGKey(rng_seed + 1)},
-        imgs, flows, flows, train=True,
+        imgs, gt_fw_flows=flows, gt_bw_flows=flows, train=True,
     )
 
 
@@ -103,9 +103,10 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     save_eval = os.path.join(ckpt_dir, cfg.get("saved_eval_dir_name", "saved_eval"))
     save_export = os.path.join(ckpt_dir, cfg.get("saved_eval_export_dir_name", "saved_eval_export"))
 
-    mesh = create_mesh(tuple(cfg.get("tpu", {}).get("mesh_shape", (-1,)) if "tpu" in cfg else (-1,)))
-    dtype = jnp.bfloat16 if cfg.get("tpu", {}).get("compute_dtype") == "bfloat16" else jnp.float32
-    model = build_model(cfg.model_kwargs.to_dict(), dtype=dtype)
+    tpu_cfg = cfg.get("tpu") if "tpu" in cfg else None
+    mesh = create_mesh(tuple(tpu_cfg.get("mesh_shape", [-1])) if tpu_cfg else (-1,))
+    dtype = jnp.bfloat16 if (tpu_cfg and tpu_cfg.get("compute_dtype") == "bfloat16") else jnp.float32
+    model = build_from_config(cfg, dtype=dtype)
 
     variables = _init_variables(cfg, model)
     pretrained = cfg.get("pretrained_model")
@@ -188,7 +189,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                             " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
         logger.info(f"epoch {epoch} done in {time.time() - epoch_t0:.1f}s")
 
-        if (epoch + 1) % val_every == 0:
+        if val_every > 0 and (epoch + 1) % val_every == 0:
             result = evaluate(cfg, model, state, _val_loader(cfg), float(cfg.eval_pos_th),
                               object_channel, use_ema=eval_on_ema)
             if object_channel is None and (epoch >= set_after - 1):

@@ -71,7 +71,9 @@ def make_train_step(model, donate: bool = True, crf_fn=None):
                 )
             (losses, probs), new_vars = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                imgs, batch["gt_fw_flows"], batch["gt_bw_flows"],
+                imgs,
+                gt_fw_flows=batch.get("gt_fw_flows"),
+                gt_bw_flows=batch.get("gt_bw_flows"),
                 pl_masks=pl_masks,
                 crf_target_masks=crf_target,
                 object_channel=object_channel,
