@@ -75,7 +75,13 @@ class DataLoader:
             # Equal per-shard length (wrap-pad like DistributedSampler).
             per_shard = -(-n // self.num_shards)
             padded = np.concatenate([order, order[: per_shard * self.num_shards - n]])
-            return padded[self.shard_index :: self.num_shards]
+            mine = padded[self.shard_index :: self.num_shards]
+            # Wrap-pad to a whole number of batches: static batch shapes are
+            # required under jit (torch instead emits a smaller last batch).
+            remainder = len(mine) % self.batch_size
+            if remainder:
+                mine = np.concatenate([mine, mine[: self.batch_size - remainder]])
+            return mine
         return np.arange(n)[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:

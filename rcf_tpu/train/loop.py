@@ -79,7 +79,7 @@ def _init_variables(cfg, model, rng_seed: int = 0):
 
 
 def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=False,
-             exporter=None, display_all=False, name="val_miou"):
+             exporter=None, display_all=False, name="val_miou", save_vis_dir=None):
     eval_step = make_eval_step(model, use_ema=use_ema)
     evaluator = Evaluator(
         eval_pos_th=eval_pos_th,
@@ -92,6 +92,12 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
         probs = eval_step(state, imgs)
         frame_ids = [frame_id_from_path(p[0]) for p in batch["paths"]]
         evaluator.process_batch(probs, jnp.asarray(batch["ann"]), batch["seq_names"], frame_ids)
+        if save_vis_dir is not None:
+            # One visualization per batch, matching rcf_model.py:241-308.
+            from .visualize import save_eval_visualization
+
+            vis_name = f"eval_{batch['seq_names'][0]}_{int(batch['seq_ids'][0])}_{frame_ids[0]}_0000000"
+            save_eval_visualization(save_vis_dir, vis_name, np.asarray(imgs[0]), np.asarray(probs[0]))
     result = evaluator.finalize(display_all=display_all, name=name)
     logger.info(result.summary(name))
     return result
@@ -150,6 +156,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
 
     if test_only:
         exporter = None
+        vis_dir = save_eval if cfg.get("eval_save") else None
         if cfg.get("eval_save") and cfg.get("eval_export"):
             exporter = Exporter(save_eval, save_export,
                                 export_all_seg=bool(cfg.get("export_all_seg", False)),
@@ -157,12 +164,17 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, float(cfg.eval_pos_th),
                           object_channel, use_ema=eval_on_ema, exporter=exporter,
-                          display_all=True, name="test_miou")
+                          display_all=True, name="test_miou", save_vis_dir=vis_dir)
         return result
 
     # ---------------- training ----------------
-    train_step = make_train_step(model, donate=True,
+    train_step = make_train_step(model, donate=bool(tpu_cfg.get("donate_state", True)) if tpu_cfg else True,
                                  crf_fn=_maybe_crf_fn(cfg, model))
+    from .visualize import compose_train_grid, make_vis_step, save_train_grid
+
+    vis_step = make_vis_step(model) if cfg.get("model_cls", "RCFModel") == "RCFModel" else None
+    vis_interval = int(cfg.model_kwargs.get("log_interval", 50))
+    train_vis_dir = os.path.join(ckpt_dir, "saved")
     keeper = TopKKeeper(ckpt_dir, k=2)
     base_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     loss_log_interval = int(cfg.get("loss_log_interval", 100))
@@ -176,7 +188,9 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         epoch_t0 = time.time()
         oc = jnp.asarray(object_channel if object_channel is not None else 0, jnp.int32)
         for batch in train_loader:
-            sharded = shard_batch(batch, mesh)
+            arrays = {k: v for k, v in batch.items()
+                      if k in ("imgs", "gt_fw_flows", "gt_bw_flows", "pl_masks")}
+            sharded = shard_batch(arrays, mesh)
             rng = jax.random.fold_in(base_rng, global_step)
             state, losses = train_step(state, sharded, rng, oc,
                                        object_channel_set=object_channel is not None)
@@ -187,6 +201,18 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                     raise RuntimeError(f"loss is NaN at step {global_step}: {vals}")
                 logger.info(f"epoch {epoch} step {global_step}: " +
                             " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+            if vis_step is not None and global_step % vis_interval == 0:
+                try:
+                    probs_v, flows_v = vis_step(state, sharded, rng, oc)
+                    grid = compose_train_grid(
+                        np.asarray(sharded["imgs"]), np.asarray(probs_v),
+                        jax.tree_util.tree_map(np.asarray, flows_v),
+                        batch.get("pl_masks"),
+                    )
+                    frame_id = os.path.splitext(os.path.basename(batch["paths"][0][0]))[0]
+                    save_train_grid(train_vis_dir, global_step, batch["seq_names"][0], frame_id, grid)
+                except Exception as exc:  # parity: saving failures only warn
+                    logger.warning(f"train visualization failed: {exc}")
         logger.info(f"epoch {epoch} done in {time.time() - epoch_t0:.1f}s")
 
         if val_every > 0 and (epoch + 1) % val_every == 0:
@@ -200,6 +226,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
 
     if not no_test:
         exporter = None
+        test_vis_dir = os.path.join(ckpt_dir, "saved_eval_test") if cfg.get("eval_save") else None
         if cfg.get("eval_save") and cfg.get("eval_export"):
             exporter = Exporter(os.path.join(ckpt_dir, "saved_eval_test"), save_export,
                                 export_all_seg=bool(cfg.get("export_all_seg", False)),
@@ -207,7 +234,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, -1.0, object_channel,
                           use_ema=eval_on_ema, exporter=exporter, display_all=True,
-                          name="test_miou")
+                          name="test_miou", save_vis_dir=test_vis_dir)
         return result
     return state
 

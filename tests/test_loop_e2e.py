@@ -14,7 +14,7 @@ from rcf_tpu.train.loop import run
 def _cfg(davis_like, ckpt_dir, c=4):
     return Config({
         "batch_size": 4,
-        "global_batch_size": 8,
+        "global_batch_size": 8,  # 7 train samples wrap-pad to one full batch
         "epochs": 2,
         "learning_rate": 1e-4,
         "optimizer": "adam",
@@ -44,6 +44,7 @@ def _cfg(davis_like, ckpt_dir, c=4):
         "export_all_seg": True,
         "model_kwargs": {
             "w_seg": 1.0, "w_entropy": 0.05, "separate_residual": True,
+            "log_interval": 1,
             "mask_layer": c, "align_corners": False, "mask_size": [16, 16],
             "backbone2": {"type": "ResNet", "depth": 18, "num_stages": 4,
                           "out_indices": [0, 1, 2, 3], "strides": [1, 2, 1, 1],
@@ -75,6 +76,11 @@ def test_full_run_trains_validates_elects_and_exports(davis_like, tmp_path):
     entries = os.listdir(tmp_path / "ckpt")
     assert "last" in entries
     assert any(e.startswith("ckpt_") for e in entries)
+    # Training visualization grids were saved every log_interval step.
+    vis_files = os.listdir(tmp_path / "ckpt" / "saved")
+    assert any(f.endswith("_img_pred_recons.jpg") for f in vis_files)
+    # Eval visualizations from the final test.
+    assert len(os.listdir(tmp_path / "ckpt" / "saved_eval_test")) > 0
     # Export contract: per-channel subdirs with pred_seg_{seq}_{frame}_{iter:07}.png.
     export_dir = tmp_path / "ckpt" / "saved_eval_export"
     assert sorted(os.listdir(export_dir)) == ["0", "1", "2", "3"]
