@@ -51,9 +51,14 @@ def main() -> None:
     n_chips = len(jax.devices())
     mesh = create_mesh()
 
+    import os
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
     batch_per_chip = 8  # reference per-GPU batch (README.md:75-77)
     b, i, hw = batch_per_chip * n_chips, 2, 384
-    model = build_model(ge._model_kwargs(mask_size=(96, 96)))
+    model = build_model(ge._model_kwargs(mask_size=(96, 96)), dtype=dtype)
     cfg = Config({
         "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-4,
         "epochs": 200, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
@@ -110,7 +115,7 @@ def main() -> None:
 
     fps_per_chip = b * i / per_step / n_chips
     print(json.dumps({
-        "metric": "rcf_stage1_train_throughput",
+        "metric": f"rcf_stage1_train_throughput_{dtype_name}",
         "value": round(fps_per_chip, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_per_chip / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3),
