@@ -176,6 +176,14 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     vis_interval = int(cfg.model_kwargs.get("log_interval", 50))
     train_vis_dir = os.path.join(ckpt_dir, "saved")
     keeper = TopKKeeper(ckpt_dir, k=2)
+    from .metrics import MetricsLogger, StepProfiler
+
+    metrics_log = MetricsLogger(ckpt_dir)
+    profiler = StepProfiler(
+        tpu_cfg.get("profile_dir") if tpu_cfg else None,
+        start=int(tpu_cfg.get("profile_start", 10)) if tpu_cfg else 10,
+        steps=int(tpu_cfg.get("profile_steps", 5)) if tpu_cfg else 5,
+    )
     base_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     loss_log_interval = int(cfg.get("loss_log_interval", 100))
     set_after = int(cfg.get("set_object_channel_after_epoch", 1))
@@ -192,15 +200,19 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                       if k in ("imgs", "gt_fw_flows", "gt_bw_flows", "pl_masks")}
             sharded = shard_batch(arrays, mesh)
             rng = jax.random.fold_in(base_rng, global_step)
+            profiler.maybe_start(global_step)
             state, losses = train_step(state, sharded, rng, oc,
                                        object_channel_set=object_channel is not None)
             global_step += 1
+            profiler.maybe_stop(global_step)
             if global_step % loss_log_interval == 0:
                 vals = {k: float(np.asarray(v)) for k, v in losses.items()}
                 if not np.isfinite(vals["loss"]):
                     raise RuntimeError(f"loss is NaN at step {global_step}: {vals}")
                 logger.info(f"epoch {epoch} step {global_step}: " +
                             " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+                metrics_log.log(step=global_step, epoch=epoch,
+                                **{f"train_{k}": v for k, v in vals.items()})
             if vis_step is not None and global_step % vis_interval == 0:
                 try:
                     probs_v, flows_v = vis_step(state, sharded, rng, oc)
@@ -222,6 +234,9 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                 object_channel = result.elected_channel
                 logger.info(f"Set object channel to {object_channel} "
                             f"(channel distribution: {result.max_channel_freq})")
+            metrics_log.log(epoch=epoch, val_miou=result.miou,
+                            val_miou_frame_avg=result.miou_frame_avg,
+                            object_channel=object_channel)
             keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
 
     if not no_test:
