@@ -154,7 +154,8 @@ def read_gt_masks(davis_root: str, seq: str, frame_ids, separate_objects: bool):
     return (masks > 0)[None]
 
 
-def read_result_masks(results_path: str, seq: str, frame_ids, step: int):
+def read_result_masks(results_path: str, seq: str, frame_ids, step: int,
+                      target_wh: tuple[int, int] = (854, 480)):
     out = []
     for fid in frame_ids:
         path = os.path.join(results_path, f"pred_seg_{seq}_{fid}_{step:07}.png")
@@ -162,7 +163,7 @@ def read_result_masks(results_path: str, seq: str, frame_ids, step: int):
             matches = glob(os.path.join(results_path, f"pred_seg_{seq}_*_{fid}_{step:07}.png"))
             assert len(matches) == 1, f"missing/ambiguous result mask for {seq}/{fid}"
             path = matches[0]
-        arr = np.array(Image.open(path).resize((854, 480), resample=Image.BILINEAR))
+        arr = np.array(Image.open(path).resize(target_wh, resample=Image.BILINEAR))
         if arr.ndim == 3:
             arr = arr[..., 0]
         out.append((arr > 256 * POS_TH).astype(np.uint8))
@@ -206,7 +207,10 @@ def evaluate(davis_root: str, results_path: str, subset: str = "val", year: str 
     }
     for seq, frame_ids in seqs.items():
         gt = read_gt_masks(davis_root, seq, frame_ids, separate_objects)
-        pred = read_result_masks(results_path, seq, frame_ids, step)
+        # Predictions are resized to the GT resolution (854x480 on real
+        # DAVIS, matching the reference's hard-coded target).
+        pred = read_result_masks(results_path, seq, frame_ids, step,
+                                 target_wh=(gt.shape[-1], gt.shape[-2]))
         j, f = evaluate_unsupervised(gt, pred)
         for oi in range(gt.shape[0]):
             name = f"{seq}_{oi + 1}"

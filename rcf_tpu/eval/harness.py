@@ -41,8 +41,8 @@ class EvalResult:
     max_channel_freq: list
     elected_channel: int
 
-    def summary(self, name: str = "val") -> str:
-        return f"{name}_miou: {self.miou * 100.:.2f}  {name}_miou_frame_avg: {self.miou_frame_avg * 100.:.2f}"
+    def summary(self, name: str = "val_miou") -> str:
+        return f"{name}: {self.miou * 100.:.2f}  {name}_frame_avg: {self.miou_frame_avg * 100.:.2f}"
 
 
 @dataclass

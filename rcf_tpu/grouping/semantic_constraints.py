@@ -52,6 +52,11 @@ def refine_frame(dino: DinoFeatures, img01: np.ndarray, mask: np.ndarray,
     from ..ops.resize import resize_bilinear
 
     rgb_u8 = np.clip(img01 * 255.0, 0, 255).astype(np.uint8)
+    if mask.shape != img01.shape[:2]:
+        # Masks are loaded at the 480p export resolution; align to the image
+        # (equal on real DAVIS; robust for other frame sizes).
+        mask = np.asarray(resize_bilinear(jnp.asarray(mask)[None, ..., None],
+                                          img01.shape[:2])[0, ..., 0])
     params_single = CRFParams(crf_scale=0.7)
     params_after_ncut = CRFParams(crf_scale=0.5)
 
@@ -60,7 +65,7 @@ def refine_frame(dino: DinoFeatures, img01: np.ndarray, mask: np.ndarray,
     feats = dino(img01[None])[0]
     grid_mask = dino.mask_to_grid(mask)
     refined_grid = ncut_refine(feats, grid_mask)
-    refined_full = resize_bilinear(refined_grid[None, ..., None], IMG_SIZE)[0, ..., 0]
+    refined_full = resize_bilinear(refined_grid[None, ..., None], img01.shape[:2])[0, ..., 0]
     ncut_crf_mask = crf_soft_single(jnp.asarray(rgb_u8), refined_full, params_after_ncut, crf_chunk)
 
     crf_np = np.asarray(crf_mask)

@@ -64,7 +64,21 @@ def restore_checkpoint(path: str, state):
         "ema_stats": state.ema_stats,
     }
     with ocp.StandardCheckpointer() as saver:
-        restored = saver.restore(os.path.abspath(path), tree)
+        try:
+            restored = saver.restore(os.path.abspath(path), tree)
+        except ValueError:
+            if state.ema_params is None:
+                raise
+            # EMA-expansion rule (main.py:98-107): the checkpoint predates
+            # EMA (e.g. stage 1 -> stage 2.1). Restore without the EMA trees
+            # and re-initialize them from the restored main weights.
+            logger.info("checkpoint has no EMA trees; initializing EMA from main weights")
+            tree_no_ema = {**tree, "ema_params": None, "ema_stats": None}
+            restored = saver.restore(os.path.abspath(path), tree_no_ema)
+            from .state import ema_subtrees
+
+            restored["ema_params"] = ema_subtrees(restored["params"], copy=True)
+            restored["ema_stats"] = ema_subtrees(restored["batch_stats"], copy=True)
     return state.replace(**restored)
 
 

@@ -80,8 +80,14 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def ema_subtrees(tree: Any) -> Any:
-    return {k: tree[k] for k in EMA_SUBTREES if k in tree}
+def ema_subtrees(tree: Any, copy: bool = False) -> Any:
+    """Select the EMA-tracked subtrees; ``copy=True`` materializes fresh
+    buffers (required when the result coexists with the source in a donated
+    state pytree — aliased buffers would be donated twice)."""
+    sub = {k: tree[k] for k in EMA_SUBTREES if k in tree}
+    if copy:
+        sub = jax.tree_util.tree_map(jnp.array, sub)
+    return sub
 
 
 def ema_update(ema: Any, current: Any, m: float) -> Any:
@@ -96,8 +102,8 @@ def create_train_state(cfg, model, variables, steps_per_epoch: int, with_ema: bo
     batch_stats = variables.get("batch_stats", {})
     if with_ema is None:
         with_ema = bool(cfg.model_kwargs.get("backbone2", {}).get("create_ema", False))
-    ema_params = ema_subtrees(params) if with_ema else None
-    ema_stats = ema_subtrees(batch_stats) if with_ema else None
+    ema_params = ema_subtrees(params, copy=True) if with_ema else None
+    ema_stats = ema_subtrees(batch_stats, copy=True) if with_ema else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
