@@ -58,6 +58,11 @@ def maa_for_channel(dino: DinoFeatures, images_dir: str, pred_dir: str, channel:
             values.append(-float(soft_ncut_value(feats, grid_mask)))
             if first_frames_only:
                 break
+    if not values:
+        raise FileNotFoundError(
+            f"MAA found no frames under {images_dir} for the requested "
+            f"sequences — check --data-dir and the dataset layout"
+        )
     return float(np.mean(values))
 
 
