@@ -33,13 +33,19 @@ logger = get_logger()
 
 
 def _build_loaders(cfg, training: bool):
+    # `dataset_cls` registry (the reference looks classes up in module
+    # globals, main.py:68-70; ours is explicit).
+    dataset_registry = {"VideoDataset": VideoDataset}
+    dataset_cls = dataset_registry[cfg.get("dataset_cls", "VideoDataset")]
     if training:
-        ds = VideoDataset(cfg.data_path, training=True, **cfg.dataset_kwargs.to_dict(),
-                          **cfg.train_dataset_kwargs.to_dict())
+        ds = dataset_cls(cfg.data_path, training=True, **cfg.dataset_kwargs.to_dict(),
+                         **cfg.train_dataset_kwargs.to_dict())
         tf = get_transform(cfg, training=True)
         global_batch = int(cfg.get("global_batch_size", cfg.batch_size))
+        # force_no_shuffle: deterministic order for visualization (main.py:324-328).
+        shuffle = not bool(cfg.get("force_no_shuffle", False))
         return DataLoader(
-            ds, tf, batch_size=global_batch, shuffle=True,
+            ds, tf, batch_size=global_batch, shuffle=shuffle,
             seed=int(cfg.get("seed", 0)), num_workers=int(cfg.get("workers", 8)),
             shard_index=jax.process_index(), num_shards=jax.process_count(),
         )
@@ -79,7 +85,8 @@ def _init_variables(cfg, model, rng_seed: int = 0):
 
 
 def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=False,
-             exporter=None, display_all=False, name="val_miou", save_vis_dir=None):
+             exporter=None, display_all=False, name="val_miou", save_vis_dir=None,
+             mesh=None):
     eval_step = make_eval_step(model, use_ema=use_ema)
     evaluator = Evaluator(
         eval_pos_th=eval_pos_th,
@@ -87,8 +94,17 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
         object_channel=object_channel,
         exporter=exporter,
     )
+    from ..parallel.mesh import batch_sharding
+
+    n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
     for batch in loader:
-        imgs = jnp.asarray(batch["imgs"][:, 0])  # [B, H, W, 3]
+        imgs = batch["imgs"][:, 0]  # [B, H, W, 3]
+        if mesh is not None and imgs.shape[0] % n_dev == 0:
+            # Shard eval over the data mesh (the reference evaluates on
+            # rank 0 only, main.py:180-238 — see SURVEY §2.3).
+            imgs = jax.device_put(imgs, batch_sharding(mesh))
+        else:
+            imgs = jnp.asarray(imgs)
         probs = eval_step(state, imgs)
         frame_ids = [frame_id_from_path(p[0]) for p in batch["paths"]]
         evaluator.process_batch(probs, jnp.asarray(batch["ann"]), batch["seq_names"], frame_ids)
@@ -164,7 +180,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, float(cfg.eval_pos_th),
                           object_channel, use_ema=eval_on_ema, exporter=exporter,
-                          display_all=True, name="test_miou", save_vis_dir=vis_dir)
+                          display_all=True, name="test_miou", save_vis_dir=vis_dir, mesh=mesh)
         return result
 
     # ---------------- training ----------------
@@ -229,7 +245,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
 
         if val_every > 0 and (epoch + 1) % val_every == 0:
             result = evaluate(cfg, model, state, _val_loader(cfg), float(cfg.eval_pos_th),
-                              object_channel, use_ema=eval_on_ema)
+                              object_channel, use_ema=eval_on_ema, mesh=mesh)
             if object_channel is None and (epoch >= set_after - 1):
                 object_channel = result.elected_channel
                 logger.info(f"Set object channel to {object_channel} "
@@ -249,7 +265,7 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, -1.0, object_channel,
                           use_ema=eval_on_ema, exporter=exporter, display_all=True,
-                          name="test_miou", save_vis_dir=test_vis_dir)
+                          name="test_miou", save_vis_dir=test_vis_dir, mesh=mesh)
         return result
     return state
 
