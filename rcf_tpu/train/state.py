@@ -37,6 +37,9 @@ def poly_epoch_schedule(base_lr: float, min_lr: float, power: float, epochs: int
 
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam/AdamW/SGD + poly schedule; `freeze_backbone` masks the backbone
+    out of the update (the reference freezes via requires_grad=False,
+    `models/rcf_model.py:94-96`)."""
     name = str(cfg.get("optimizer", "adam")).lower()
     schedule = poly_epoch_schedule(
         base_lr=float(cfg.learning_rate),
@@ -56,8 +59,18 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unsupported optimizer {name}")
     if name == "adamw":
-        return optax.chain(core, optax.add_decayed_weights(wd), optax.scale_by_learning_rate(schedule))
-    return optax.chain(optax.add_decayed_weights(wd), core, optax.scale_by_learning_rate(schedule))
+        tx = optax.chain(core, optax.add_decayed_weights(wd), optax.scale_by_learning_rate(schedule))
+    else:
+        tx = optax.chain(optax.add_decayed_weights(wd), core, optax.scale_by_learning_rate(schedule))
+
+    if bool(cfg.get("model_kwargs", {}).get("freeze_backbone", False)):
+        def trainable(params):
+            return {k: (k != "backbone2") for k in params}
+
+        tx = optax.multi_transform(
+            {True: tx, False: optax.set_to_zero()}, trainable
+        )
+    return tx
 
 
 class TrainState(struct.PyTreeNode):
