@@ -1,11 +1,10 @@
 """SegTrackv2 / FBMS59 evaluation at original annotation resolution.
 
 Parity with `tools/STv2-FBMS59-evaluation/eval_tool.py`: per frame, the
-exported mask is resized (PIL default = bicubic-free nearest? — the
-reference uses ``Image.resize`` default, which is bicubic in PIL>=9
-NEAREST in older; we use BILINEAR like the DAVIS reader) to the annotation
-size, annotation binarized at > 0.5, prediction at > 0.35, IoU (NaN for
-empty unions), per-sequence nanmean, global frame-weighted nanmean.
+exported mask is resized to the annotation size with PIL's default
+resampling (bicubic, as the reference's bare ``Image.resize`` call),
+annotation binarized at > 0.5, prediction at > 0.35, IoU (NaN for empty
+unions), per-sequence nanmean, global frame-weighted nanmean.
 
 CLI:
   python -m rcf_tpu.eval.stv2_fbms --dataset SegTrackv2 --pred_dir <dir> \
@@ -62,8 +61,10 @@ def evaluate(dataset: str, pred_dir: str, data_root: str | None = None,
             if ann.ndim == 3:
                 ann = ann[..., 0]
             pred_path = os.path.join(pred_dir, f"pred_seg_{seq_name}_{frame_ind:05}_{step:07}.png")
+            # PIL default resample (bicubic), matching the reference's bare
+            # Image.resize (eval_tool.py:84).
             pred = np.array(
-                Image.open(pred_path).resize((ann.shape[1], ann.shape[0]), Image.BILINEAR)
+                Image.open(pred_path).resize((ann.shape[1], ann.shape[0]))
             ) / 255.0
             if pred.ndim == 3:
                 pred = pred[..., 0]

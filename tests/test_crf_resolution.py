@@ -1,0 +1,42 @@
+"""Quantify the in-training CRF resolution knob: targets computed on a
+downscaled grid must agree with full-resolution targets once both are
+consumed at the 96x96-equivalent mask grid (PARITY.md deviation #3)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rcf_tpu.ops.crf import make_crf_fn
+from rcf_tpu.ops.resize import resize_bilinear
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def test_downscaled_crf_agrees_at_mask_grid():
+    rng = np.random.default_rng(0)
+    h = w = 96  # "full" resolution for the test; knob grid at 64
+    raw = np.zeros((1, h, w, 3), np.float32)
+    # Two color regions with an irregular boundary + noise.
+    boundary = (h // 2 + (8 * np.sin(np.arange(w) / 7))).astype(int)
+    for x in range(w):
+        raw[0, : boundary[x], x] = (0.8, 0.15, 0.1)
+        raw[0, boundary[x] :, x] = (0.1, 0.2, 0.85)
+    raw += rng.normal(0, 0.03, raw.shape).astype(np.float32)
+    raw = np.clip(raw, 0, 1)
+    imgs = (raw - IMAGENET_MEAN) / IMAGENET_STD
+    mask = np.clip(
+        (np.arange(h)[None, :, None] < boundary[None, None, :]) * 0.7
+        + rng.normal(0, 0.2, (1, h, w)),
+        0, 1,
+    ).astype(np.float32)
+
+    full = make_crf_fn(resolution=None, refine_iters=20, chunk=512)(
+        jnp.asarray(imgs), jnp.asarray(mask))
+    down = make_crf_fn(resolution=(64, 64), refine_iters=20, chunk=512)(
+        jnp.asarray(imgs), jnp.asarray(mask))
+
+    # Compare where they are consumed: at the (24, 24) mask grid.
+    tgt_full = np.asarray(resize_bilinear(full[..., None], (24, 24))[..., 0])
+    tgt_down = np.asarray(resize_bilinear(down[..., None], (24, 24))[..., 0])
+    agreement = np.mean(np.abs(tgt_full - tgt_down) < 0.25)
+    assert agreement > 0.95, f"only {agreement:.3f} of target pixels agree"
