@@ -112,6 +112,38 @@ class PhotoMetricDistortion:
 
 
 # ---------------------------------------------------------------------------
+# Standalone geometry helpers (API parity with the reference's CenterCrop /
+# Pad / SegRescale classes, `dataset/transforms.py:309-379,513-552`; the
+# shipped pipelines don't use them, but they are part of the transform API).
+# ---------------------------------------------------------------------------
+
+
+def center_crop(arr: np.ndarray, crop_hw: tuple[int, int]) -> np.ndarray:
+    ch, cw = crop_hw
+    oy = max(arr.shape[0] - ch, 0) // 2
+    ox = max(arr.shape[1] - cw, 0) // 2
+    return arr[oy : oy + ch, ox : ox + cw]
+
+
+def pad_to(arr: np.ndarray, size_hw: tuple[int, int] | None = None,
+           size_divisor: int | None = None, pad_val: float = 0) -> np.ndarray:
+    """Bottom/right pad to a fixed size or to a multiple of size_divisor."""
+    assert (size_hw is None) != (size_divisor is None)
+    h, w = arr.shape[:2]
+    if size_divisor is not None:
+        size_hw = (-(-h // size_divisor) * size_divisor, -(-w // size_divisor) * size_divisor)
+    pads = [(0, size_hw[0] - h), (0, size_hw[1] - w)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pads, constant_values=pad_val)
+
+
+def seg_rescale(arr: np.ndarray, scale_factor: float) -> np.ndarray:
+    if scale_factor == 1:
+        return arr
+    out_hw = (int(arr.shape[0] * scale_factor + 0.5), int(arr.shape[1] * scale_factor + 0.5))
+    return imresize(arr, out_hw, "nearest")
+
+
+# ---------------------------------------------------------------------------
 # Composite pipelines.
 # ---------------------------------------------------------------------------
 

@@ -97,3 +97,17 @@ def test_loader_eval_sequential(davis_like):
         assert b["imgs"].shape[2] == 392
         seen += b["seq_names"]
     assert len(seen) == 7
+
+
+def test_geometry_helpers():
+    from rcf_tpu.data.transforms import center_crop, pad_to, seg_rescale
+
+    arr = np.arange(48).reshape(6, 8).astype(np.uint8)
+    c = center_crop(arr, (4, 4))
+    assert c.shape == (4, 4) and c[0, 0] == arr[1, 2]
+    p = pad_to(arr, size_hw=(8, 10), pad_val=7)
+    assert p.shape == (8, 10) and p[-1, -1] == 7 and p[0, 0] == arr[0, 0]
+    d = pad_to(arr, size_divisor=5)
+    assert d.shape == (10, 10)
+    r = seg_rescale(arr[..., None].repeat(3, -1), 0.5)
+    assert r.shape == (3, 4, 3)
