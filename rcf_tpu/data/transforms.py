@@ -155,9 +155,14 @@ def _resize_all(sample: dict, scale: tuple[int, int]) -> dict:
     return sample
 
 
+# Fused uint8 -> normalized-f32 affine (a plain /255 would promote to f64).
+_NORM_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+_NORM_BIAS = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+
+
 def _normalize(imgs: list[np.ndarray]) -> np.ndarray:
-    stacked = np.stack(imgs).astype(np.float32) / 255.0
-    return (stacked - IMAGENET_MEAN) / IMAGENET_STD
+    stacked = np.stack(imgs)
+    return stacked.astype(np.float32) * _NORM_SCALE + _NORM_BIAS
 
 
 @dataclass
