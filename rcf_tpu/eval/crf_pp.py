@@ -36,20 +36,79 @@ from ..utils import get_logger, set_loglevel
 logger = get_logger()
 
 
+def _collect_frames(input_dir, annotation_dir, step, seq, allow_skip, out_dir):
+    jobs = []
+    skipped = 0
+    for path in sorted(glob(os.path.join(input_dir, seq, "*.jpg"))):
+        scene, frame = path.split("/")[-2:]
+        ann_path = os.path.join(annotation_dir, f"pred_seg_{scene}_{frame[:-4]}_{step:07}.png")
+        if not os.path.exists(ann_path):
+            assert allow_skip, f"{ann_path} missing"
+            skipped += 1
+            continue
+        jobs.append((path, ann_path, os.path.join(out_dir, os.path.basename(ann_path))))
+    if skipped:
+        logger.info(f"Skipped {skipped} frames without exported masks")
+    return jobs
+
+
+def _load_pair(img_path, ann_path):
+    img = np.asarray(Image.open(img_path).convert("RGB"))
+    mask = np.asarray(Image.open(ann_path).resize((img.shape[1], img.shape[0])))
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    # crf.py:169: scale the 0-255 mask by 1/0.8 before unary construction;
+    # both engines re-apply 255/crf_scale to a 0-1 mask, so hand them 0-1.
+    return img, mask.astype(np.float32) / 255.0
+
+
 def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
         allow_skip: bool = False, batch: int = 8, chunk: int = 1024,
-        crf_scale: float = 0.8, iters: int = 50) -> str:
-    params = CRFParams(crf_scale=crf_scale, refine_iters=iters)
+        crf_scale: float = 0.8, iters: int = 50, engine: str = "native",
+        resolution: tuple[int, int] | None = None, jobs: int = 8) -> str:
+    """Engines:
+    * ``native`` (default): the C++ permutohedral lattice at full resolution —
+      O(N), algorithm-exact vs the reference's pydensecrf, threaded over
+      frames (the C call releases the GIL), no GNU-parallel fan-out needed;
+    * ``device``: the attention mean field on TPU, batched; O(N^2) in the
+      grid, so pass ``resolution`` (e.g. 240x427) for 480p inputs.
+    """
     out_dir = annotation_dir.rstrip("/") + "_crf"
     os.makedirs(out_dir, exist_ok=True)
+    frame_jobs = _collect_frames(input_dir, annotation_dir, step, seq, allow_skip, out_dir)
 
-    crf_batched = jax.jit(
-        jax.vmap(lambda im, mk: crf_soft_single(im, mk, params, chunk))
-    )
+    if engine == "native":
+        from concurrent.futures import ThreadPoolExecutor
 
-    paths = sorted(glob(os.path.join(input_dir, seq, "*.jpg")))
+        from ..ops.crf_native import crf_soft_native
+
+        def one(job):
+            img_path, ann_path, save_path = job
+            img, mask01 = _load_pair(img_path, ann_path)
+            refined = crf_soft_native(img, mask01, refine_iters=iters, crf_scale=crf_scale)
+            Image.fromarray((refined * 255.0).astype(np.uint8)).convert("L").save(save_path)
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            list(pool.map(one, frame_jobs))
+        return out_dir
+
+    # Device engine (optionally on a reduced grid), straight from uint8 RGB.
+    from ..ops.resize import resize_bilinear
+
+    params = CRFParams(crf_scale=crf_scale, refine_iters=iters)
+
+    def dev_one(img_u8, mask01):
+        h, w = mask01.shape
+        if resolution is not None and (h, w) != tuple(resolution):
+            img_f = resize_bilinear(img_u8.astype(jnp.float32)[None], tuple(resolution))[0]
+            img_run = jnp.clip(img_f, 0, 255).astype(jnp.uint8)
+            mask_run = resize_bilinear(mask01[None, ..., None], tuple(resolution))[0, ..., 0]
+            refined = crf_soft_single(img_run, mask_run, params, chunk)
+            return resize_bilinear(refined[None, ..., None], (h, w))[0, ..., 0]
+        return crf_soft_single(img_u8, mask01, params, chunk)
+
+    crf_batched = jax.jit(jax.vmap(dev_one))
     pending: list[tuple[np.ndarray, np.ndarray, str]] = []
-    skipped = 0
 
     def flush():
         if not pending:
@@ -62,21 +121,8 @@ def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
         pending.clear()
 
     group_shape = None
-    for path in paths:
-        scene, frame = path.split("/")[-2:]
-        ann_path = os.path.join(annotation_dir, f"pred_seg_{scene}_{frame[:-4]}_{step:07}.png")
-        if not os.path.exists(ann_path):
-            assert allow_skip, f"{ann_path} missing"
-            skipped += 1
-            continue
-        img = np.asarray(Image.open(path).convert("RGB"))
-        mask = np.asarray(Image.open(ann_path).resize((img.shape[1], img.shape[0])))
-        if mask.ndim == 3:
-            mask = mask[..., 0]
-        # crf.py:169: scale the 0-255 mask by 1/0.8 before unary construction;
-        # ops/crf.py re-applies 255/crf_scale on a 0-1 mask, so hand it 0-1.
-        mask01 = mask.astype(np.float32) / 255.0
-        save_path = os.path.join(out_dir, os.path.basename(ann_path))
+    for img_path, ann_path, save_path in frame_jobs:
+        img, mask01 = _load_pair(img_path, ann_path)
         if group_shape is not None and img.shape != group_shape:
             flush()
         group_shape = img.shape
@@ -84,8 +130,6 @@ def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
         if len(pending) == batch:
             flush()
     flush()
-    if skipped:
-        logger.info(f"Skipped {skipped} frames without exported masks")
     return out_dir
 
 
@@ -98,10 +142,16 @@ def main(argv=None) -> int:
     parser.add_argument("--allow_skip", action="store_true")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--chunk", type=int, default=1024)
+    parser.add_argument("--engine", choices=["native", "device"], default="native")
+    parser.add_argument("--resolution", type=int, nargs=2, default=None,
+                        help="device-engine grid (e.g. 240 427); native runs full-res")
+    parser.add_argument("--jobs", type=int, default=8, help="native-engine threads")
     args = parser.parse_args(argv)
     set_loglevel(True)
     out = run(args.input, args.annotation_dir, args.step, args.seq, args.allow_skip,
-              args.batch, args.chunk)
+              args.batch, args.chunk, engine=args.engine,
+              resolution=tuple(args.resolution) if args.resolution else None,
+              jobs=args.jobs)
     logger.info(f"Refined masks written to {out}")
     return 0
 

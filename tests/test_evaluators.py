@@ -127,3 +127,26 @@ def test_crf_pp_smoke(tmp_path):
     refined = np.array(Image.open(os.path.join(out_dir, outs[0])))
     assert refined[:, :28].mean() > 200
     assert refined[:, 32:].mean() < 50
+
+
+def test_crf_pp_device_engine(tmp_path):
+    """Device engine with a reduced grid produces masks of the right shape."""
+    from rcf_tpu.eval.crf_pp import run
+
+    rng = np.random.default_rng(2)
+    img_dir = tmp_path / "JPEGImages" / "seqB"
+    ann_dir = tmp_path / "export"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir()
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[:, :30] = (200, 30, 30)
+    img[:, 30:] = (30, 30, 200)
+    Image.fromarray(img).save(img_dir / "00000.jpg")
+    mask = np.zeros((40, 60), np.uint8)
+    mask[:, :30] = 180
+    Image.fromarray(mask).save(ann_dir / "pred_seg_seqB_00000_0000000.png")
+    out_dir = run(str(tmp_path / "JPEGImages"), str(ann_dir), batch=1, chunk=64,
+                  iters=10, engine="device", resolution=(20, 30))
+    refined = np.array(Image.open(os.path.join(out_dir, "pred_seg_seqB_00000_0000000.png")))
+    assert refined.shape == (40, 60)
+    assert refined[:, :26].mean() > 180
