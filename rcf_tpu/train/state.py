@@ -73,6 +73,53 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     return tx
 
 
+def fused_adam(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch-Adam-semantics optimizer over ONE flat buffer.
+
+    The optax chain walks the ~300-leaf param tree ~5 times; on TPU that
+    costs ~12 ms/step in per-leaf kernel overhead (RESULTS.md ablation).
+    Here grads/params are raveled once and the moment/update math runs as
+    three large contiguous passes. Exactly the same math as
+    `make_optimizer` (add_decayed_weights -> scale_by_adam -> -lr), modulo
+    f32 summation order. Enable with `tpu.fused_optimizer: true`.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    schedule = poly_epoch_schedule(
+        base_lr=float(cfg.learning_rate),
+        min_lr=float(cfg.lr_scheduler_kwargs.get("min_lr", 0.0)),
+        power=float(cfg.lr_scheduler_kwargs.get("power", 0.9)),
+        epochs=int(cfg.epochs),
+        steps_per_epoch=steps_per_epoch,
+    )
+    wd = float(cfg.get("weight_decay", 0.0))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return {
+            "m": jnp.zeros_like(flat),
+            "v": jnp.zeros_like(flat),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        assert params is not None, "fused_adam needs params (weight decay)"
+        gflat, unravel = ravel_pytree(grads)
+        pflat, _ = ravel_pytree(params)
+        g = gflat + wd * pflat
+        count = state["count"] + 1
+        m = b1 * state["m"] + (1.0 - b1) * g
+        v = b2 * state["v"] + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mhat = m / (1.0 - b1**c)
+        vhat = v / (1.0 - b2**c)
+        step = (-schedule(state["count"])) * mhat / (jnp.sqrt(vhat) + eps)
+        return unravel(step), {"m": m, "v": v, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -110,7 +157,13 @@ def ema_update(ema: Any, current: Any, m: float) -> Any:
 
 
 def create_train_state(cfg, model, variables, steps_per_epoch: int, with_ema: bool | None = None) -> TrainState:
-    tx = make_optimizer(cfg, steps_per_epoch)
+    use_fused = bool(cfg.get("tpu", {}).get("fused_optimizer", False)) if "tpu" in cfg else False
+    if bool(cfg.get("model_kwargs", {}).get("freeze_backbone", False)):
+        use_fused = False  # masking needs the tree-structured path
+    if use_fused and str(cfg.get("optimizer", "adam")).lower() == "adam":
+        tx = fused_adam(cfg, steps_per_epoch)
+    else:
+        tx = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if with_ema is None:
