@@ -173,6 +173,9 @@ class TrainTransform:
     crop_size: tuple[int, int] = (384, 384)
     base_scale: tuple[int, int] = (9999, 400)
     ratio_range: tuple[float, float] = (0.96, 1.0)
+    # keep_uint8: emit uint8 frames and let the model normalize on device
+    # (saves host float math + 4x host->device transfer; tpu.device_normalize).
+    keep_uint8: bool = False
 
     def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
         # 1. Keep-ratio resize with a sampled global ratio.
@@ -204,9 +207,9 @@ class TrainTransform:
                     sample[key] = [np.ascontiguousarray(arr[:, ::-1]) for arr in sample[key]]
             sample["imgs"] = PhotoMetricDistortion()(sample["imgs"], rng)
 
-        # 4. To float arrays.
+        # 4. To arrays (normalized f32, or uint8 for device-side normalize).
         out = {
-            "imgs": _normalize(sample["imgs"]),
+            "imgs": np.stack(sample["imgs"]) if self.keep_uint8 else _normalize(sample["imgs"]),
             "seq_ids": sample["seq_ids"],
             "seq_names": sample["seq_names"],
             "paths": sample["paths"],
@@ -229,12 +232,13 @@ class EvalTransform:
     strong_aug: bool = False  # accepted for config parity; unused
     base_scale: tuple[int, int] = (9999, 400)
     ratio: float = 0.98
+    keep_uint8: bool = False
 
     def __call__(self, sample: dict, rng: np.random.Generator | None = None) -> dict:
         scale = (int(self.base_scale[0] * self.ratio), int(self.base_scale[1] * self.ratio))
         sample = _resize_all(sample, scale)
         out = {
-            "imgs": _normalize(sample["imgs"]),
+            "imgs": np.stack(sample["imgs"]) if self.keep_uint8 else _normalize(sample["imgs"]),
             "seq_ids": sample["seq_ids"],
             "seq_names": sample["seq_names"],
             "paths": sample["paths"],

@@ -67,7 +67,9 @@ class AMDModel(nn.Module):
         self.flownet = PWCLite(mask_layer=self.mask_layer)
 
     def mask_probs(self, imgs_flat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = self.backbone2(imgs_flat, train=train)
+        from ..rcf import maybe_normalize
+
+        feats = self.backbone2(maybe_normalize(imgs_flat), train=train)
         logits = self.decode_head2(feats, train=train)
         return nn.softmax(logits, axis=-1)
 
@@ -79,16 +81,21 @@ class AMDModel(nn.Module):
         Extra arguments exist for train-step signature parity with RCFModel;
         AMD is fully self-supervised from the learned flownet and ignores them.
         """
+        from ..rcf import maybe_normalize
+
         b, im_num = imgs.shape[:2]
         assert im_num == 2
-        imgs_flat = imgs.reshape(b * im_num, *imgs.shape[2:])
+        imgs_flat = maybe_normalize(imgs.reshape(b * im_num, *imgs.shape[2:]))
         feats = self.backbone2(imgs_flat, train=train)
         logits = self.decode_head2(feats, train=train)
         h, w = logits.shape[1:3]
         probs = nn.softmax(logits.reshape(b, im_num, h, w, self.mask_layer), axis=-1)
 
         # Un-normalize to [0, 1] and resize for the flownet (fcn_head.py:160-167).
-        raw = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+        if imgs.dtype == jnp.uint8:
+            raw = imgs.astype(jnp.float32) / 255.0
+        else:
+            raw = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
         im1 = resize_bilinear(raw[:, 0], self.flow_size, align_corners=True)
         im2 = resize_bilinear(raw[:, 1], self.flow_size, align_corners=True)
 

@@ -138,8 +138,9 @@ class RCFModel(nn.Module):
 
     # -- building blocks -------------------------------------------------
     def features(self, imgs_flat: jnp.ndarray, train: bool = True):
-        """Backbone features for [N, H, W, 3] frames."""
-        return self.backbone2(imgs_flat, train=train)
+        """Backbone features for [N, H, W, 3] frames (uint8 accepted:
+        ImageNet normalization then happens on device — tpu.device_normalize)."""
+        return self.backbone2(maybe_normalize(imgs_flat), train=train)
 
     def mask_logits(self, imgs_flat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         feats = self.features(imgs_flat, train=train)
@@ -268,3 +269,14 @@ def _take_channel(probs: jnp.ndarray, channel) -> jnp.ndarray:
     """probs [..., C] -> [...] at a (possibly traced) channel index."""
     onehot = jax.nn.one_hot(channel, probs.shape[-1], dtype=probs.dtype)
     return jnp.sum(probs * onehot, axis=-1)
+
+
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def maybe_normalize(imgs: jnp.ndarray) -> jnp.ndarray:
+    """uint8 frames -> ImageNet-normalized f32 (no-op for float inputs)."""
+    if imgs.dtype == jnp.uint8:
+        return (imgs.astype(jnp.float32) / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+    return imgs

@@ -50,7 +50,10 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def unnormalize_to_uint8(imgs: jnp.ndarray) -> jnp.ndarray:
-    """ImageNet-normalized float images -> uint8 RGB (crf_head.py:33-37,93-98)."""
+    """ImageNet-normalized float images -> uint8 RGB (crf_head.py:33-37,93-98).
+    uint8 inputs (device-normalize pipelines) pass through unchanged."""
+    if imgs.dtype == jnp.uint8:
+        return imgs
     x = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
     x = jnp.clip(x * 255.0, 0.0, 255.0)
     return x.astype(jnp.uint8)

@@ -32,6 +32,18 @@ from .step import make_eval_step, make_train_step
 logger = get_logger()
 
 
+def _device_normalize(cfg) -> bool:
+    tpu_cfg = cfg.get("tpu") if "tpu" in cfg else None
+    return bool(tpu_cfg.get("device_normalize", False)) if tpu_cfg else False
+
+
+def _transform(cfg, training: bool):
+    tf = get_transform(cfg, training=training)
+    if _device_normalize(cfg):
+        tf.keep_uint8 = True
+    return tf
+
+
 def _build_loaders(cfg, training: bool):
     # `dataset_cls` registry (the reference looks classes up in module
     # globals, main.py:68-70; ours is explicit).
@@ -40,7 +52,7 @@ def _build_loaders(cfg, training: bool):
     if training:
         ds = dataset_cls(cfg.data_path, training=True, **cfg.dataset_kwargs.to_dict(),
                          **cfg.train_dataset_kwargs.to_dict())
-        tf = get_transform(cfg, training=True)
+        tf = _transform(cfg, training=True)
         global_batch = int(cfg.get("global_batch_size", cfg.batch_size))
         # force_no_shuffle: deterministic order for visualization (main.py:324-328).
         shuffle = not bool(cfg.get("force_no_shuffle", False))
@@ -54,7 +66,7 @@ def _build_loaders(cfg, training: bool):
     sub = kwargs.pop("subsample_frame_interval", None)
     ds = VideoDataset(data_path, training=False, **cfg.dataset_kwargs.to_dict(),
                       subsample_frame_interval=sub, **kwargs)
-    tf = get_transform(cfg, training=False)
+    tf = _transform(cfg, training=False)
     return DataLoader(
         ds, tf, batch_size=int(cfg.batch_size), shuffle=False, drop_last=False,
         num_workers=int(cfg.get("workers", 8)), group_by_shape=True,
@@ -68,7 +80,7 @@ def _val_loader(cfg, subsample: int = 10):
     kwargs.pop("subsample_frame_interval", None)
     ds = VideoDataset(data_path, training=False, **cfg.dataset_kwargs.to_dict(),
                       subsample_frame_interval=subsample, **kwargs)
-    tf = get_transform(cfg, training=False)
+    tf = _transform(cfg, training=False)
     return DataLoader(ds, tf, batch_size=int(cfg.batch_size), shuffle=False,
                       drop_last=False, num_workers=int(cfg.get("workers", 8)),
                       group_by_shape=True)

@@ -49,6 +49,8 @@ def _to_u8(x01: np.ndarray) -> np.ndarray:
 
 
 def _unnormalize(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
     return np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
 
 
