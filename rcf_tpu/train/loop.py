@@ -134,6 +134,14 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
 def run(cfg, test_only: bool = False, no_test: bool = False):
     ckpt_dir = cfg.checkpoints_dir
     os.makedirs(ckpt_dir, exist_ok=bool(cfg.get("allow_overwriting_checkpoints_dir", True)))
+    # Reproducibility: persist the fully resolved config (utils.dump_args parity).
+    try:
+        import yaml
+
+        with open(os.path.join(ckpt_dir, "config_resolved.yaml"), "w") as f:
+            yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
+    except Exception as exc:
+        logger.warning(f"could not dump resolved config: {exc}")
     save_eval = os.path.join(ckpt_dir, cfg.get("saved_eval_dir_name", "saved_eval"))
     save_export = os.path.join(ckpt_dir, cfg.get("saved_eval_export_dir_name", "saved_eval_export"))
 
