@@ -134,7 +134,9 @@ class DataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                # workers: 0 (reference semantics: load in the main process)
+                # still needs one pool thread here.
+                with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
                     for batch_idx in self._batches_of_indices():
                         samples = list(pool.map(self._load_one, batch_idx))
                         out_q.put(_collate(samples))

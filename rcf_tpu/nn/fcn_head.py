@@ -39,6 +39,7 @@ class FCNHead(nn.Module):
     input_transform: str | None = None
     align_corners: bool = False
     in_channels: Any = None  # config parity; Flax infers input channels
+    norm_cfg: Any = None  # config parity (SyncBN is implicit in global-view jit)
     dtype: jnp.dtype = jnp.float32
 
     def _transform_inputs(self, inputs: Sequence[jnp.ndarray]) -> jnp.ndarray:

@@ -87,7 +87,8 @@ def _val_loader(cfg, subsample: int = 10):
 
 
 def _init_variables(cfg, model, rng_seed: int = 0):
-    hw = tuple(cfg.get("train_crop_size", (384, 384)))
+    default_hw = cfg.train_transform_kwargs.get("crop_size", (384, 384))
+    hw = tuple(cfg.get("train_crop_size", default_hw))
     imgs = jnp.zeros((2, 2, *hw, 3), jnp.float32)
     flows = jnp.zeros((2, 1, *hw, 2), jnp.float32)
     return model.init(

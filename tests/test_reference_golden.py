@@ -1,0 +1,455 @@
+"""Golden tests against the ACTUAL reference torch source (/root/reference).
+
+Round-1 parity tests compared against hand-written replicas; these import
+the reference's real modules (via tests/reference_harness.py) so a shared
+misunderstanding between replica and implementation cannot pass silently
+(VERDICT.md round-1, "Next round" item 1):
+
+* flow-aggregation head, all residual modes, identical imported weights
+  (`models/flow_aggregation_head_with_residual.py:312-368`);
+* the composed RCFModel.forward_train loss dict on identical weights/inputs
+  (`models/rcf_model.py:410-531`), weights round-tripped through OUR
+  Lightning importer from a real `torch.save` artifact — which also
+  exercises the importer against a reference-architecture state dict;
+* warp utils, AMD loss blocks, compactness, sharpen/entropy/PL/CRF losses,
+  cost-volume correlation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+from reference_harness import load_reference
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def nchw(x: np.ndarray) -> torch.Tensor:
+    """NHWC numpy -> NCHW torch."""
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x, -1, -3)))
+
+
+def to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return np.moveaxis(t.detach().numpy(), -3, -1)
+
+
+# ---------------------------------------------------------------------------
+# Flow aggregation head (the RCF loss core)
+# ---------------------------------------------------------------------------
+
+
+def _flow_head_case(ref, *, free_residual=False, free_residual_with_affine=False,
+                    quadratic=False, residual_adjustment_scale=10.0,
+                    outlier_robust_loss=False, mask_size=(48, 48), res_hw=(24, 24),
+                    clamp_flow_t=20.0, seed=0):
+    from rcf_tpu.nn import FlowAggregationHead
+    from rcf_tpu.train.checkpoint import import_flow_head
+
+    torch.manual_seed(seed)
+    b, c = 2, 4
+    h, w = mask_size
+    kwargs = dict(
+        ssim_sz=1, create_flownet=True, mask_layer=c,
+        flow_feat_before_agg_kernel_size=3, num_flow_feat_channels=64,
+        mask_size=list(mask_size), norm_flow=False, clamp_flow_t=clamp_flow_t,
+        free_residual=free_residual,
+        free_residual_with_affine=free_residual_with_affine,
+        free_residual_with_affine_quadratic=quadratic,
+        outlier_robust_loss=outlier_robust_loss, eps=0.01, q=0.4,
+        allow_residual_resize=True,
+        residual_adjustment_scale=residual_adjustment_scale, pred_div_coeff=10.0,
+    )
+    import argparse
+
+    torch_head = ref.flow_head.FlowAggregationHeadWithResidual(
+        args=argparse.Namespace(), **kwargs)
+    torch_head.eval()
+
+    rng = np.random.default_rng(seed)
+    masks_logits = rng.standard_normal((b, 2, h, w, c)).astype(np.float32) * 2
+    masks = np.exp(masks_logits) / np.exp(masks_logits).sum(-1, keepdims=True)
+    fw = (rng.standard_normal((b, 1, h, w, 2)) * 8).astype(np.float32)
+    bw = (rng.standard_normal((b, 1, h, w, 2)) * 8).astype(np.float32)
+    res_fw = (rng.standard_normal((b, *res_hw, 2 * c)) * 3).astype(np.float32)
+    res_bw = (rng.standard_normal((b, *res_hw, 2 * c)) * 3).astype(np.float32)
+
+    t_masks = nchw(masks)          # [B, 2, C, H, W]
+    t_imgs = torch.zeros(b, 2, 3, h, w)
+    with torch.no_grad():
+        t_flows, t_loss = torch_head(
+            t_imgs, t_masks, nchw(fw), nchw(bw), nchw(res_fw), nchw(res_bw))
+
+    ours = FlowAggregationHead(
+        mask_layer=c, mask_size=tuple(mask_size), clamp_flow_t=clamp_flow_t,
+        free_residual=free_residual,
+        free_residual_with_affine=free_residual_with_affine,
+        free_residual_with_affine_quadratic=quadratic,
+        outlier_robust_loss=outlier_robust_loss,
+        residual_adjustment_scale=residual_adjustment_scale,
+        allow_residual_resize=True,
+    )
+    params = import_flow_head(torch_head.state_dict(), prefix="")
+    losses, flows = ours.apply(
+        {"params": params}, masks, fw, bw, res_fw, res_bw, train=False)
+    return t_loss, t_flows, losses, flows
+
+
+def test_flow_head_free_residual_golden(ref):
+    """Stage-1 recipe: learned constant flow + tanh residual."""
+    t_loss, t_flows, losses, flows = _flow_head_case(ref, free_residual=True)
+    np.testing.assert_allclose(float(losses["seg_fw"]), t_loss["seg_fw"].item(), rtol=1e-4)
+    np.testing.assert_allclose(float(losses["seg_bw"]), t_loss["seg_bw"].item(), rtol=1e-4)
+    np.testing.assert_allclose(float(losses["seg"]), t_loss["seg"].item(), rtol=1e-4)
+    # agg flow parity (pre-normalization): reference stores fw+bw normalized
+    # by (h/2, w/2) per component in channel order [y-ish? it splits 0:1 / h].
+    fw_agg, bw_agg = flows["agg_flow"]
+    t_agg = t_flows["agg_flow"][0]  # [B, 4, H, W], components scaled by 2/h, 2/w
+    h = fw_agg.shape[1]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(fw_agg), -1, 1) * (2.0 / h),
+        t_agg[:, :2].numpy(), rtol=2e-4, atol=1e-5)
+
+
+def test_flow_head_free_residual_no_limit_golden(ref):
+    """residual_adjustment_scale == -1: raw (untanh'd) residual."""
+    t_loss, _, losses, _ = _flow_head_case(
+        ref, free_residual=True, residual_adjustment_scale=-1.0)
+    np.testing.assert_allclose(float(losses["seg"]), t_loss["seg"].item(), rtol=1e-4)
+
+
+def test_flow_head_outlier_robust_golden(ref):
+    t_loss, _, losses, _ = _flow_head_case(
+        ref, free_residual=True, outlier_robust_loss=True)
+    np.testing.assert_allclose(float(losses["seg"]), t_loss["seg"].item(), rtol=1e-4)
+
+
+def test_flow_head_affine_golden(ref):
+    """STv2/FBMS recipe: + closed-form per-mask affine WLS flow."""
+    t_loss, t_flows, losses, flows = _flow_head_case(
+        ref, free_residual_with_affine=True)
+    np.testing.assert_allclose(float(losses["seg"]), t_loss["seg"].item(), rtol=1e-3)
+    fw_aff, _ = flows["affine_flow"]
+    t_aff = t_flows["affine_flow"][0]
+    h = fw_aff.shape[1]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(fw_aff), -1, 1) * (2.0 / h),
+        t_aff[:, :2].numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_flow_head_affine_quadratic_golden(ref):
+    t_loss, _, losses, _ = _flow_head_case(
+        ref, free_residual_with_affine=True, quadratic=True)
+    np.testing.assert_allclose(float(losses["seg"]), t_loss["seg"].item(), rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Warp / occlusion / correlation (AMD support ops)
+# ---------------------------------------------------------------------------
+
+
+def test_flow_warp_golden(ref):
+    from rcf_tpu.ops.warp import flow_warp
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 17, 23, 3)).astype(np.float32)
+    flow = (rng.standard_normal((2, 17, 23, 2)) * 4).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref.warp_utils.flow_warp(nchw(x), nchw(flow), pad="border")
+    ours = flow_warp(x, flow, pad="border")
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(t_out), rtol=1e-5, atol=1e-5)
+
+
+def test_occu_mask_backward_golden(ref):
+    from rcf_tpu.ops.warp import occu_mask_backward
+
+    rng = np.random.default_rng(2)
+    flow = (rng.standard_normal((2, 24, 32, 2)) * 5).astype(np.float32)
+    with torch.no_grad():
+        t_occ = ref.warp_utils.get_occu_mask_backward(nchw(flow), th=0.2)
+    ours = occu_mask_backward(flow, th=0.2)
+    np.testing.assert_allclose(np.asarray(ours), t_occ[:, 0].numpy(), atol=1e-6)
+
+
+def test_occu_mask_bidirection_golden(ref):
+    from rcf_tpu.ops.warp import occu_mask_bidirection
+
+    rng = np.random.default_rng(3)
+    f12 = (rng.standard_normal((2, 24, 32, 2)) * 5).astype(np.float32)
+    f21 = (rng.standard_normal((2, 24, 32, 2)) * 5).astype(np.float32)
+    with torch.no_grad():
+        t_occ = ref.warp_utils.get_occu_mask_bidirection(nchw(f12), nchw(f21))
+    ours = occu_mask_bidirection(f12, f21)
+    np.testing.assert_allclose(np.asarray(ours), t_occ[:, 0].numpy(), atol=1e-6)
+
+
+def test_correlation_golden(ref):
+    from rcf_tpu.ops.warp import correlation
+
+    rng = np.random.default_rng(4)
+    x1 = rng.standard_normal((2, 12, 14, 32)).astype(np.float32)
+    x2 = rng.standard_normal((2, 12, 14, 32)).astype(np.float32)
+    corr_mod = ref.correlation_native.Correlation(max_displacement=4)
+    with torch.no_grad():
+        t_out = corr_mod(nchw(x1), nchw(x2))  # [B, 81, H, W]
+    ours = correlation(x1, x2, max_displacement=4)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours), -1, 1), t_out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_amd_loss_blocks_golden(ref):
+    from rcf_tpu.losses.unflow import ssim_dist, ternary_dist, smooth_grad_1st, smooth_grad_2nd
+
+    rng = np.random.default_rng(5)
+    a = rng.random((2, 32, 40, 3)).astype(np.float32)
+    b = rng.random((2, 32, 40, 3)).astype(np.float32)
+    flow = (rng.standard_normal((2, 32, 40, 2)) * 3).astype(np.float32)
+    occu = rng.random((2, 32, 40, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        t_ssim = ref.loss_blocks.SSIM(nchw(a), nchw(b))
+        t_tern = ref.loss_blocks.TernaryLoss(nchw(a), nchw(b))
+        t_s1 = ref.loss_blocks.smooth_grad_1st(nchw(flow), nchw(a), alpha=10.0)
+        t_s2 = ref.loss_blocks.smooth_grad_2nd(nchw(flow), nchw(a), alpha=10.0)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ssim_dist(a, b)), -1, 1), t_ssim.numpy(),
+        rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ternary_dist(a, b)), -1, 1), t_tern.numpy(),
+        rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(float(smooth_grad_1st(flow, a, 10.0)), t_s1.item(), rtol=1e-4)
+    np.testing.assert_allclose(float(smooth_grad_2nd(flow, a, 10.0)), t_s2.item(), rtol=1e-4)
+    del occu
+
+
+def test_occu_golden_via_flow_loss_consistency(ref):
+    """get_occu_mask_backward inside unFlowLoss consumes (1 - mask)."""
+    # Covered by test_occu_mask_backward_golden; kept as an explicit contract
+    # note: reference occu masks are "1 = visible" after `1 - get_occu...`.
+    assert ref.flow_loss.unFlowLoss is not None
+
+
+# ---------------------------------------------------------------------------
+# Regularizer losses (RCFModel methods + utils.sharpen)
+# ---------------------------------------------------------------------------
+
+
+def test_sharpen_golden(ref):
+    from rcf_tpu.losses.regularizers import sharpen
+
+    rng = np.random.default_rng(6)
+    p = rng.random((2, 2, 4, 8, 8)).astype(np.float32)
+    p /= p.sum(axis=2, keepdims=True)
+    with torch.no_grad():
+        t_out = ref.loss_utils.sharpen(torch.from_numpy(p), 0.25, dim=2)
+    ours = sharpen(np.moveaxis(p, 2, -1), 0.25, axis=-1)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours), -1, 2), t_out.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def _loss_self(ref, **attrs):
+    """A minimal `self` for calling RCFModel loss methods unbound."""
+    import argparse
+    import types
+
+    ns = types.SimpleNamespace(**attrs)
+    ns.args = argparse.Namespace(object_channel=attrs.pop("object_channel", 1))
+    return ns
+
+
+def test_sharpen_and_entropy_loss_golden(ref):
+    from rcf_tpu.losses.regularizers import (
+        entropy_loss, object_aware_sharpen_loss, quirk_log, sharpen_loss)
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((2, 2, 4, 8, 8)).astype(np.float32)
+    p_t = torch.softmax(torch.from_numpy(logits), dim=2)
+    logp_t = torch.log_softmax(p_t, dim=2)  # the reference's quirk: log_softmax of probs
+    p = np.moveaxis(p_t.numpy(), 2, -1)
+
+    me = _loss_self(ref, t_sharpen=0.25, object_aware_sharpening=False)
+    with torch.no_grad():
+        t_sharp = ref.rcf_model.RCFModel.get_sharpen_loss(me, p_t, logp_t)
+        t_ent = ref.rcf_model.RCFModel.get_entropy_loss(me, p_t, logp_t)
+    np.testing.assert_allclose(float(sharpen_loss(p, 0.25)), t_sharp.item(), rtol=1e-4)
+    np.testing.assert_allclose(float(entropy_loss(p)), t_ent.item(), rtol=1e-4)
+
+    me_obj = _loss_self(ref, t_sharpen=0.25, object_aware_sharpening=True)
+    with torch.no_grad():
+        t_obj = ref.rcf_model.RCFModel.get_sharpen_loss(
+            me_obj, p_t, logp_t, object_channel=1)
+    np.testing.assert_allclose(
+        float(object_aware_sharpen_loss(p, 0.25, 1)), t_obj.item(), rtol=1e-4)
+    # quirk_log really is log_softmax-of-probs:
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(quirk_log(p, axis=-1)), -1, 2), logp_t.numpy(),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_pl_and_crf_loss_golden(ref):
+    from rcf_tpu.losses.regularizers import pseudo_label_loss
+
+    rng = np.random.default_rng(8)
+    p_t = torch.softmax(torch.from_numpy(
+        rng.standard_normal((2, 2, 4, 8, 8)).astype(np.float32)), dim=2)
+    masks = torch.from_numpy(rng.random((2, 2, 8, 8)).astype(np.float32))
+    obj = p_t[:, :, 1].numpy()
+
+    me = _loss_self(ref, object_channel=1, pl_mask_pos_th=0.35,
+                    pl_pos_weight=2.0, pl_neg_weight=0.5)
+    with torch.no_grad():
+        t_pl = ref.rcf_model.RCFModel.get_pl_loss(me, p_t, masks)
+    ours = pseudo_label_loss(obj, masks.numpy(), 2.0, 0.5, 0.35)
+    np.testing.assert_allclose(float(ours), t_pl.item(), rtol=1e-4)
+
+    me2 = _loss_self(ref, object_channel=1, crf_mask_pos_th=-1.0,
+                     crf_pos_weight=1.0, crf_neg_weight=2.0)
+    with torch.no_grad():
+        t_crf = ref.rcf_model.RCFModel.get_crf_loss(me2, p_t, masks)
+    ours2 = pseudo_label_loss(obj, masks.numpy(), 1.0, 2.0, -1.0)
+    np.testing.assert_allclose(float(ours2), t_crf.item(), rtol=1e-4)
+
+
+def test_compactness_golden(ref):
+    from rcf_tpu.losses.regularizers import compactness_loss
+
+    rng = np.random.default_rng(9)
+    p_t = torch.softmax(torch.from_numpy(
+        rng.standard_normal((2, 2, 4, 12, 16)).astype(np.float32)), dim=2)
+    import argparse
+
+    head = ref.compactness_head.CompactnessHead(
+        args=argparse.Namespace(object_channel=None), compact_channel=1)
+    with torch.no_grad():
+        t_loss = head.get_compactness_loss(p_t)
+    compact = p_t[:, :, 1].reshape(-1, 12, 16).numpy()
+    np.testing.assert_allclose(float(compactness_loss(compact)), t_loss.item(), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Composed RCFModel.forward_train — the full 6-loss dict on shared weights.
+# ---------------------------------------------------------------------------
+
+
+def _stage1_model_kwargs(mask_size=(32, 32), num_classes=4, dropout=0.0):
+    """The reference stage-1 model_kwargs (configs/rcf/rcf_stage1.yaml),
+    shrunk: mask_size follows the test input (128^2 -> layer1 at 32^2),
+    dropout zeroed so torch/flax RNG streams don't have to match."""
+    norm = {"type": "SyncBN", "requires_grad": True}
+    return {
+        "w_seg": 1.0, "w_sharpen": 0, "w_entropy": 0.05,
+        "separate_residual": True, "mask_layer": num_classes,
+        "align_corners": False, "mask_size": list(mask_size),
+        "train_iter": 1,  # skip the reference's vis block (log_interval 50)
+        "backbone2": {
+            "dilations": [1, 1, 2, 4], "strides": [1, 2, 1, 1], "type": "ResNet",
+            "depth": 50, "num_stages": 4, "out_indices": [0, 1, 2, 3],
+            "norm_cfg": dict(norm), "norm_eval": False, "style": "pytorch",
+            "contract_dilation": True,
+        },
+        "decode_head": {
+            "ssim_sz": 1, "create_flownet": True, "mask_layer": num_classes,
+            "type": "FlowAggregationHeadWithResidual",
+            "flow_feat_before_agg_kernel_size": 3, "num_flow_feat_channels": 64,
+            "mask_size": list(mask_size), "norm_flow": False, "clamp_flow_t": 20.0,
+            "free_residual": True, "free_residual_with_affine": False,
+            "free_scale": False, "outlier_robust_loss": False, "eps": 0.01,
+            "q": 0.4, "allow_residual_resize": True,
+            "residual_adjustment_scale": 10.0, "pred_div_coeff": 10.0,
+        },
+        "decode_head2": {
+            "input_transform": "resize_concat", "concat_input": False,
+            "dilation": 6, "channels": 256, "type": "FCNHead",
+            "in_channels": [256, 2048], "in_index": [0, 3], "num_convs": 2,
+            "dropout_ratio": dropout, "num_classes": num_classes,
+            "norm_cfg": dict(norm), "align_corners": False,
+        },
+        "decode_head3": {
+            "concat_input": False, "dilation": 6, "channels": 256,
+            "type": "FCNHead", "in_channels": 4096, "in_index": -1,
+            "num_convs": 2, "dropout_ratio": dropout,
+            "num_classes": 4 * num_classes, "norm_cfg": dict(norm),
+            "align_corners": False,
+        },
+    }
+
+
+@pytest.mark.slow
+def test_composed_forward_train_golden(ref, tmp_path):
+    """Full stage-1 forward_train loss dict, reference vs ours, weights
+    imported from a real torch.save Lightning-format artifact through
+    train/checkpoint.py::load_pretrained (VERDICT items 1 and 6)."""
+    import argparse
+    import copy
+
+    import jax.numpy as jnp
+
+    from rcf_tpu.models import build_model
+    from rcf_tpu.train.checkpoint import load_pretrained
+
+    torch.manual_seed(0)
+    kwargs = _stage1_model_kwargs()
+    args = argparse.Namespace(checkpoints_dir=str(tmp_path), object_channel=None)
+    t_model = ref.rcf_model.RCFModel(args=args, **copy.deepcopy(kwargs))
+    t_model.train()
+
+    # ---- a real Lightning-shaped artifact, saved with torch.save ----
+    sd = {f"model.{k}": v for k, v in t_model.state_dict().items()}
+    art = tmp_path / "ref_stage1_like.ckpt"
+    torch.save({"state_dict": sd, "epoch": 3}, art)
+
+    our_model = build_model(copy.deepcopy(
+        {k: v for k, v in kwargs.items() if k != "train_iter"}))
+    rng = np.random.default_rng(0)
+    b, i, hw = 2, 2, 128
+    imgs = rng.standard_normal((b, i, hw, hw, 3)).astype(np.float32)
+    fw = (rng.standard_normal((b, 1, hw, hw, 2)) * 8).astype(np.float32)
+    bw = (rng.standard_normal((b, 1, hw, hw, 2)) * 8).astype(np.float32)
+
+    import jax
+
+    variables = our_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), gt_fw_flows=jnp.asarray(fw),
+        gt_bw_flows=jnp.asarray(bw), train=False)
+    variables = load_pretrained(str(art), our_model, variables)
+
+    # ---- reference side ----
+    t_imgs = nchw(imgs)
+    with torch.no_grad():
+        t_losses = t_model.forward_train(
+            t_imgs, seq_ids=None, seq_names=None, paths=None,
+            gt_fw_flows=nchw(fw), gt_bw_flows=nchw(bw), pl_masks=None)
+
+    # ---- our side (train-mode BN, dropout zero) ----
+    (losses, probs), new_vars = our_model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(imgs), gt_fw_flows=jnp.asarray(fw), gt_bw_flows=jnp.asarray(bw),
+        train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+
+    np.testing.assert_allclose(
+        float(losses["loss_warp_seg"]), t_losses["loss_warp_seg"].item(), rtol=2e-3)
+    np.testing.assert_allclose(
+        float(losses["loss_entropy"]), t_losses["loss_entropy"].item(), rtol=2e-3)
+    np.testing.assert_allclose(float(losses["loss"]), t_losses["loss"].item(), rtol=2e-3)
+
+    # ---- eval-mode mask parity (the export path) ----
+    # forward_train mutated the torch BN running stats in place; using OUR
+    # mutated batch_stats here additionally goldens the running-stat update.
+    t_model.eval()
+    imgs_flat = imgs.reshape(b * i, hw, hw, 3)
+    with torch.no_grad():
+        feats = t_model.extract_feat(nchw(imgs_flat), t_model.backbone2)
+        t_logits = t_model._decode_head_forward(feats, t_model.decode_head2)
+        t_probs = torch.softmax(t_logits, dim=1)
+    our_probs = our_model.apply(
+        {"params": variables["params"], "batch_stats": new_vars["batch_stats"]},
+        jnp.asarray(imgs_flat), train=False, method=our_model.mask_probs)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(our_probs), -1, 1), t_probs.numpy(),
+        rtol=1e-3, atol=2e-4)
