@@ -453,3 +453,130 @@ def test_composed_forward_train_golden(ref, tmp_path):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(our_probs), -1, 1), t_probs.numpy(),
         rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-importer branches on REAL reference-model torch.save artifacts
+# (VERDICT item 6): MoCo (module.encoder_q.*), DenseCL (conv1.weight),
+# Lightning-with-EMA, and the EMA-expansion rule.
+# ---------------------------------------------------------------------------
+
+
+def _ref_resnet18(ref, seed=0):
+    torch.manual_seed(seed)
+    net = ref.resnet.ResNet(
+        depth=18, num_stages=4, out_indices=(0, 1, 2, 3), strides=(1, 2, 1, 1),
+        dilations=(1, 1, 2, 4), contract_dilation=True,
+        norm_cfg={"type": "BN", "requires_grad": True}, style="pytorch")
+    net.init_weights()
+    # Randomize BN stats so stat import is actually exercised.
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.7, 1.3)
+    net.eval()
+    return net
+
+
+def _our_resnet18():
+    from rcf_tpu.nn import ResNet
+
+    return ResNet(depth=18, num_stages=4, out_indices=(0, 1, 2, 3),
+                  strides=(1, 2, 1, 1), dilations=(1, 1, 2, 4),
+                  contract_dilation=True, style="pytorch")
+
+
+def _assert_backbone_parity(ref_net, variables, x):
+    import jax.numpy as jnp
+
+    model = _our_resnet18()
+    with torch.no_grad():
+        t_feats = ref_net(nchw(x))
+    feats = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False)
+    for ours_f, theirs_f in zip(feats, t_feats):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(ours_f), -1, 1), theirs_f.numpy(),
+            rtol=1e-3, atol=1e-4)
+
+
+def _init_backbone_vars():
+    import jax
+    import jax.numpy as jnp
+
+    model = _our_resnet18()
+    return model, model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+class _BackboneCfgShim:
+    """Just enough of RCFModel for load_pretrained's config lookups."""
+
+    backbone_cfg = {"depth": 18}
+    mask_head_cfg = {"num_convs": 2, "concat_input": False}
+    residual_head_cfg = {"num_convs": 2, "concat_input": False}
+
+
+def _import_into_backbone(tmp_path, ref, artifact_name, sd):
+    """Route a raw state dict through load_pretrained via a wrapper tree."""
+    from rcf_tpu.train.checkpoint import load_pretrained
+
+    _, variables = _init_backbone_vars()
+    # load_pretrained merges into variables['params']['backbone2'].
+    wrapped = {"params": {"backbone2": variables["params"]},
+               "batch_stats": {"backbone2": variables["batch_stats"]}}
+    path = tmp_path / artifact_name
+    torch.save(sd, path)
+    out = load_pretrained(str(path), _BackboneCfgShim(), wrapped)
+    return {"params": out["params"]["backbone2"],
+            "batch_stats": out["batch_stats"]["backbone2"]}
+
+
+def test_import_moco_format_golden(ref, tmp_path):
+    """MoCo v1/v2 artifact: module.encoder_q.* prefix, fc keys dropped
+    (reference dispatch main.py:115-128)."""
+    net = _ref_resnet18(ref, seed=1)
+    sd = {f"module.encoder_q.{k}": v for k, v in net.state_dict().items()}
+    sd["module.encoder_q.fc.weight"] = torch.zeros(10, 512)
+    sd["module.encoder_q.fc.bias"] = torch.zeros(10)
+    sd["module.encoder_k.conv1.weight"] = torch.zeros_like(net.conv1.weight)
+    variables = _import_into_backbone(
+        tmp_path, ref, "moco.pth", {"state_dict": sd})
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    _assert_backbone_parity(net, variables, x)
+
+
+def test_import_densecl_format_golden(ref, tmp_path):
+    """DenseCL artifact: bare conv1.weight keys (main.py:129-131)."""
+    net = _ref_resnet18(ref, seed=2)
+    variables = _import_into_backbone(
+        tmp_path, ref, "densecl.pth", {"state_dict": dict(net.state_dict())})
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    _assert_backbone_parity(net, variables, x)
+
+
+def test_import_lightning_ema_trees_golden(ref, tmp_path):
+    """Lightning artifact WITH backbone2_ema.* -> ema trees imported and
+    forward-equal to the torch EMA backbone (main.py:92-107)."""
+    from rcf_tpu.train.checkpoint import load_pretrained
+
+    net = _ref_resnet18(ref, seed=3)
+    ema = _ref_resnet18(ref, seed=4)  # different weights than main
+    sd = {f"model.backbone2.{k}": v for k, v in net.state_dict().items()}
+    sd.update({f"model.backbone2_ema.{k}": v for k, v in ema.state_dict().items()})
+    path = tmp_path / "lightning_ema.ckpt"
+    torch.save({"state_dict": sd}, path)
+
+    _, variables = _init_backbone_vars()
+    wrapped = {"params": {"backbone2": variables["params"]},
+               "batch_stats": {"backbone2": variables["batch_stats"]}}
+    out = load_pretrained(str(path), _BackboneCfgShim(), wrapped)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    _assert_backbone_parity(net, {"params": out["params"]["backbone2"],
+                                  "batch_stats": out["batch_stats"]["backbone2"]}, x)
+    _assert_backbone_parity(ema, {"params": out["ema_params"]["backbone2"],
+                                  "batch_stats": out["ema_stats"]["backbone2"]}, x)
