@@ -59,26 +59,49 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.nda
 def corresponding_map(flow: jnp.ndarray) -> jnp.ndarray:
     """Forward-splat an all-ones map along flow [B, H, W, 2] -> [B, H, W].
 
-    Bilinear scatter-add of 1 at (base + flow); out-of-range corners dropped
-    (warp_utils.get_corresponding_map semantics).
+    Exact `warp_utils.get_corresponding_map` semantics (bilinear splat of 1
+    at base + flow, out-of-range corners dropped), computed WITHOUT a
+    scatter: the bilinear corner weight factorizes per axis,
+    ``w(corner) = tri(y - yc) * tri(x - xc)`` with ``tri(d) = max(0, 1-|d|)``,
+    so the density is a single MXU contraction
+
+        out[b, i, j] = sum_p TRI_Y[b, p, i] * TRI_X[b, p, j]
+
+    over source pixels p. Dropped corners fall out for free: a cell index
+    outside [0, H) x [0, W) simply has no column. TPU-native replacement for
+    the reference's scatter_add (`utils/warp_utils.py:27-81`), which is
+    gather/scatter-bound on TPU (round-1 AMD step was 881 ms, scatter-bound).
     """
     b, h, w, _ = flow.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
                           indexing="ij")
-    x = (xs[None] + flow[..., 0]).reshape(b, -1)
+    x = (xs[None] + flow[..., 0]).reshape(b, -1)  # [B, P] target x coords
     y = (ys[None] + flow[..., 1]).reshape(b, -1)
-    x1, y1 = jnp.floor(x), jnp.floor(y)
-    out = jnp.zeros((b, h * w), flow.dtype)
-    for dx, dy in ((1, 1), (1, 0), (0, 1), (0, 0)):
-        xc_raw, yc_raw = x1 + dx, y1 + dy
-        xc = jnp.clip(xc_raw, 0, w - 1)
-        yc = jnp.clip(yc_raw, 0, h - 1)
-        valid = (xc_raw == xc) & (yc_raw == yc)
-        weight = (1 - jnp.abs(x - xc_raw)) * (1 - jnp.abs(y - yc_raw))
-        weight = jnp.where(valid, weight, 0.0)
-        idx = (xc + yc * w).astype(jnp.int32)
-        out = jax.vmap(lambda o, i, v: o.at[i].add(v))(out, idx, weight)
-    return out.reshape(b, h, w)
+    cols_x = jnp.arange(w, dtype=flow.dtype)
+    cols_y = jnp.arange(h, dtype=flow.dtype)
+
+    # Chunk source pixels so the [B, chunk, H/W] triangle factors stay small
+    # (AMD splats at full 384x640: un-chunked factors would be ~3 GB).
+    p = h * w
+    chunk = min(p, 8192)
+    pad = (-p) % chunk
+    if pad:
+        # Padded pixels target y = -2: zero weight in every cell.
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-2.0)
+    n_chunks = (p + pad) // chunk
+    xc = jnp.moveaxis(x.reshape(b, n_chunks, chunk), 1, 0)
+    yc = jnp.moveaxis(y.reshape(b, n_chunks, chunk), 1, 0)
+
+    def body(acc, xy):
+        xi, yi = xy
+        tri_x = jnp.maximum(0.0, 1.0 - jnp.abs(xi[..., None] - cols_x))  # [B, c, W]
+        tri_y = jnp.maximum(0.0, 1.0 - jnp.abs(yi[..., None] - cols_y))  # [B, c, H]
+        return acc + jnp.einsum("bpi,bpj->bij", tri_y, tri_x,
+                                preferred_element_type=jnp.float32), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((b, h, w), jnp.float32), (xc, yc))
+    return out.astype(flow.dtype)
 
 
 def occu_mask_backward(flow21: jnp.ndarray, th: float = 0.2) -> jnp.ndarray:

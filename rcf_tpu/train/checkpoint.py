@@ -187,6 +187,65 @@ def import_flow_head(sd: dict, prefix: str):
     return params
 
 
+def import_pwc_lite(sd: dict, prefix: str = "") -> dict:
+    """Reference PWCLite state dict -> our flax `flownet` params subtree.
+
+    Key map (reference `models/amd/pwc_lite.py:36-140` — every conv lives in
+    a Sequential, so torch keys carry a trailing `.0`):
+
+    * feature_pyramid_extractor.convs.{l}.{j}.0  -> pyramid/l{l}_conv{j}
+    * flow_estimators.{conv1..5,predict_flow1,predict_flow2}.0
+                                                 -> estimator/{same}
+    * conv_1x1.{i}.0                             -> conv_1x1_{i}
+
+    Supports the `load_flownet` knob (`models/fcn_head.py:88-93`).
+    """
+    params: dict = {}
+    for lvl in range(6):
+        for j in (0, 1):
+            key = f"{prefix}feature_pyramid_extractor.convs.{lvl}.{j}.0"
+            _set(params, ("pyramid", f"l{lvl}_conv{j}", "kernel"), _conv(sd, f"{key}.weight"))
+            _set(params, ("pyramid", f"l{lvl}_conv{j}", "bias"), _t(sd[f"{key}.bias"]))
+    for name in ("conv1", "conv2", "conv3", "conv4", "conv5",
+                 "predict_flow1", "predict_flow2"):
+        key = f"{prefix}flow_estimators.{name}.0"
+        _set(params, ("estimator", name, "kernel"), _conv(sd, f"{key}.weight"))
+        _set(params, ("estimator", name, "bias"), _t(sd[f"{key}.bias"]))
+    for i in range(5):
+        key = f"{prefix}conv_1x1.{i}.0"
+        _set(params, (f"conv_1x1_{i}", "kernel"), _conv(sd, f"{key}.weight"))
+        _set(params, (f"conv_1x1_{i}", "bias"), _t(sd[f"{key}.bias"]))
+    return params
+
+
+def load_flownet(path: str, variables: dict) -> dict:
+    """Load a PWC-Lite torch checkpoint into variables['params']['flownet']
+    (reference `models/fcn_head.py:88-93`: torch.load(...)['state_dict'],
+    strict=False)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    logger.info(f"[Flownet] loading weights from {path}")
+    imported = import_pwc_lite(sd)
+    out = dict(variables)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    target = params["flownet"]
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                if dst[k].shape != v.shape:
+                    raise ValueError(f"flownet shape mismatch {k}: {dst[k].shape} vs {v.shape}")
+                dst[k] = v.astype(dst[k].dtype)
+
+    merge(target, imported)
+    out["params"] = params
+    return out
+
+
 def load_pretrained(path: str, model, variables: dict, backbone_only: bool = False,
                     drop_decode_head2: bool = False) -> dict:
     """Dispatch on checkpoint format and merge into `variables` (main.py:76-142)."""

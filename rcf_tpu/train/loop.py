@@ -171,6 +171,15 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         else:
             logger.warning(f"pretrained_model {pretrained} not found; using fresh init")
 
+    # AMD flownet knobs (reference models/fcn_head.py:52-97): load a
+    # PWC-Lite torch checkpoint into the flownet subtree; freezing is an
+    # optimizer mask (train/state.py).
+    head_cfg = cfg.model_kwargs.get("decode_head", {})
+    if head_cfg.get("load_flownet", False):
+        from .checkpoint import load_flownet as _load_flownet
+
+        variables = _load_flownet(str(head_cfg["flow_model_path"]), variables)
+
     if test_only:
         steps_per_epoch = 1
     else:

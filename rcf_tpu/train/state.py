@@ -63,9 +63,17 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     else:
         tx = optax.chain(optax.add_decayed_weights(wd), core, optax.scale_by_learning_rate(schedule))
 
-    if bool(cfg.get("model_kwargs", {}).get("freeze_backbone", False)):
+    frozen = set()
+    model_kwargs = cfg.get("model_kwargs", {})
+    if bool(model_kwargs.get("freeze_backbone", False)):
+        frozen.add("backbone2")
+    # freeze_flownet (AMD): reference sets requires_grad=False on the
+    # PWC-Lite params (`models/fcn_head.py:94-97`); here it's an update mask.
+    if bool(model_kwargs.get("decode_head", {}).get("freeze_flownet", False)):
+        frozen.add("flownet")
+    if frozen:
         def trainable(params):
-            return {k: (k != "backbone2") for k in params}
+            return {k: (k not in frozen) for k in params}
 
         tx = optax.multi_transform(
             {True: tx, False: optax.set_to_zero()}, trainable
@@ -158,7 +166,8 @@ def ema_update(ema: Any, current: Any, m: float) -> Any:
 
 def create_train_state(cfg, model, variables, steps_per_epoch: int, with_ema: bool | None = None) -> TrainState:
     use_fused = bool(cfg.get("tpu", {}).get("fused_optimizer", False)) if "tpu" in cfg else False
-    if bool(cfg.get("model_kwargs", {}).get("freeze_backbone", False)):
+    if bool(cfg.get("model_kwargs", {}).get("freeze_backbone", False)) or bool(
+            cfg.get("model_kwargs", {}).get("decode_head", {}).get("freeze_flownet", False)):
         use_fused = False  # masking needs the tree-structured path
     if use_fused and str(cfg.get("optimizer", "adam")).lower() == "adam":
         tx = fused_adam(cfg, steps_per_epoch)

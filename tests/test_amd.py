@@ -131,3 +131,23 @@ def test_amd_model_forward_and_grads():
     g_flow = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["flownet"]))
     g_back = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["backbone2"]))
     assert g_flow > 0 and g_back > 0
+
+
+def test_freeze_flownet_optimizer_mask():
+    """freeze_flownet (models/fcn_head.py:94-97) = optimizer update mask."""
+    import jax.numpy as jnp
+
+    from rcf_tpu.config import Config
+    from rcf_tpu.train.state import make_optimizer
+
+    cfg = Config({
+        "optimizer": "adam", "learning_rate": 1e-2, "weight_decay": 0.0,
+        "epochs": 10, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 0.0},
+        "model_kwargs": {"decode_head": {"freeze_flownet": True}},
+    })
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"backbone2": {"w": jnp.ones(3)}, "flownet": {"w": jnp.ones(3)}}
+    grads = {"backbone2": {"w": jnp.ones(3)}, "flownet": {"w": jnp.ones(3)}}
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(updates["flownet"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["backbone2"]["w"]).max()) > 0.0

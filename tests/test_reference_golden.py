@@ -580,3 +580,60 @@ def test_import_lightning_ema_trees_golden(ref, tmp_path):
                                   "batch_stats": out["batch_stats"]["backbone2"]}, x)
     _assert_backbone_parity(ema, {"params": out["ema_params"]["backbone2"],
                                   "batch_stats": out["ema_stats"]["backbone2"]}, x)
+
+
+def test_pwc_lite_import_forward_golden(ref, tmp_path):
+    """PWC-Lite importer (load_flownet knob) + full pyramid/cost-volume/
+    estimator forward parity vs the reference net on imported weights
+    (`models/amd/pwc_lite.py`, `models/fcn_head.py:88-93`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rcf_tpu.models.amd.pwc_lite import PWCLite
+    from rcf_tpu.train.checkpoint import import_pwc_lite
+
+    torch.manual_seed(0)
+    t_net = ref.pwc_lite.PWCLite(mask_layer=4)
+    t_net.init_weights()
+    t_net.eval()
+
+    rng = np.random.default_rng(0)
+    b, h, w, c = 2, 64, 128, 4
+    im1 = rng.random((b, h, w, 3)).astype(np.float32)
+    im2 = rng.random((b, h, w, 3)).astype(np.float32)
+    m = rng.random((b, 16, 32, c)).astype(np.float32)
+    mask1 = m / m.sum(-1, keepdims=True)
+    mask2 = np.roll(mask1, 1, axis=-1)
+
+    with torch.no_grad():
+        two = torch.cat([nchw(im1), nchw(im2)], dim=1)
+        t_res = t_net(two, [nchw(mask1), nchw(mask2)], with_bk=True)
+
+    ours = PWCLite(mask_layer=c)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(im1), jnp.asarray(im2),
+                          jnp.asarray(mask1), jnp.asarray(mask2))
+    # round-trip through a real torch.save artifact
+    path = tmp_path / "pwc_lite.pth"
+    torch.save({"state_dict": t_net.state_dict()}, path)
+    sd = torch.load(path, weights_only=False)["state_dict"]
+    imported = import_pwc_lite(sd)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                assert dst[k].shape == v.shape, k
+                dst[k] = v
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    merge(params, imported)
+    res = ours.apply({"params": params}, jnp.asarray(im1), jnp.asarray(im2),
+                     jnp.asarray(mask1), jnp.asarray(mask2), with_bk=True)
+
+    for key in ("flows_fw", "flows_bw"):
+        assert len(res[key]) == len(t_res[key]) == 5
+        for ours_f, theirs_f in zip(res[key], t_res[key]):
+            np.testing.assert_allclose(
+                np.moveaxis(np.asarray(ours_f), -1, 1), theirs_f.numpy(),
+                rtol=1e-3, atol=1e-4)
