@@ -138,14 +138,23 @@ def _use_pallas(n: int, requested: bool | None) -> bool:
 
 
 def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
-                    chunk: int = 1024, use_pallas: bool | None = None) -> jnp.ndarray:
+                    chunk: int = 1024, use_pallas: bool | None = None,
+                    engine: str = "grid") -> jnp.ndarray:
     """One image: [H, W, 3] uint8 + [H, W] soft mask -> [H, W] binary MAP.
 
     Binary labels let the mean field track only the foreground channel: the
     normalized filter preserves the simplex (filter(q0) = 1 - filter(q1)),
-    so each iteration needs ONE filtered channel. On TPU the filter runs as
-    the Pallas flash kernel (`pallas/bilateral.py`); elsewhere as chunked
-    XLA attention.
+    so each iteration needs ONE filtered channel.
+
+    engine:
+    * ``"grid"`` (default) — O(N) bilateral-grid lattice
+      (`ops/bilateral_grid.py`): splat/blur/slice structure built once per
+      image, each iteration is gathers + one cumsum. This is the TPU
+      counterpart of the reference's CUDA permutohedral lattice
+      (`permutohedral_gpu.cu:432`); >=97% MAP agreement vs the exact engine
+      (`tests/test_bilateral_grid.py`).
+    * ``"attention"`` — exact O(N^2) chunked MXU attention (or the opt-in
+      Pallas flash kernel via ``use_pallas``): the reference for quality.
     """
     h, w = mask.shape
     n = h * w
@@ -155,33 +164,59 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
     smooth_feat = _xy_features(h, w, params.sxy_smooth) if use_smooth else None
     pallas_on = _use_pallas(n, use_pallas)
 
-    def filt(feat, q1):
-        if pallas_on:
-            from .pallas.bilateral import normalized_filter_pallas
+    if engine == "grid":
+        from .bilateral_grid import _grid_dims, build_lattice, lattice_filter
 
-            return normalized_filter_pallas(feat, q1)
-        return _normalized_filter(feat, q1[:, None], chunk)[:, 0]
+        app_max = ((w - 1) / params.sxy, (h - 1) / params.sxy,
+                   255.0 / params.srgb, 255.0 / params.srgb, 255.0 / params.srgb)
+        app_lat = build_lattice(app_feat, _grid_dims(app_max))
+        app_norm = jnp.maximum(lattice_filter(app_lat, jnp.ones((n,), jnp.float32)), 1e-20)
+        if use_smooth:
+            sm_max = ((w - 1) / params.sxy_smooth, (h - 1) / params.sxy_smooth)
+            sm_lat = build_lattice(smooth_feat, _grid_dims(sm_max))
+            sm_norm = jnp.maximum(lattice_filter(sm_lat, jnp.ones((n,), jnp.float32)), 1e-20)
+
+        def filt_app(q1):
+            return lattice_filter(app_lat, q1) / app_norm
+
+        def filt_smooth(q1):
+            return lattice_filter(sm_lat, q1) / sm_norm
+    else:
+        def _attn(feat, q1):
+            if pallas_on:
+                from .pallas.bilateral import normalized_filter_pallas
+
+                return normalized_filter_pallas(feat, q1)
+            return _normalized_filter(feat, q1[:, None], chunk)[:, 0]
+
+        def filt_app(q1):
+            return _attn(app_feat, q1)
+
+        def filt_smooth(q1):
+            return _attn(smooth_feat, q1)
 
     # d = unary0 - unary1; q1 = sigmoid(d + w*(2 f1 - 1) + ...).
     du = unary[:, 0] - unary[:, 1]
     q1 = jax.nn.sigmoid(du)
 
     def body(_, q1):
-        logit = du + params.scomp * (2.0 * filt(app_feat, q1) - 1.0)
+        logit = du + params.scomp * (2.0 * filt_app(q1) - 1.0)
         if use_smooth:
-            logit = logit + params.scomp_smooth * (2.0 * filt(smooth_feat, q1) - 1.0)
+            logit = logit + params.scomp_smooth * (2.0 * filt_smooth(q1) - 1.0)
         return jax.nn.sigmoid(logit)
 
     q1 = jax.lax.fori_loop(0, params.refine_iters, body, q1)
     return (q1 > 0.5).astype(jnp.float32).reshape(h, w)
 
 
-def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024, **kwargs):
+def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024,
+                engine: str = "grid", **kwargs):
     """Batched CRF: (normalized imgs [N, H, W, 3], masks [N, H, W]) -> [N, H, W].
 
     ``resolution``: optionally run the mean field on a downscaled grid (the
     in-training CRF target is consumed at mask resolution — see module doc);
     ``None`` runs at the input resolution (exact reference behavior).
+    ``engine``: "grid" (O(N) lattice, default) or "attention" (exact O(N^2)).
     """
     params = CRFParams(**{k: v for k, v in kwargs.items() if k in CRFParams.__dataclass_fields__})
 
@@ -194,7 +229,9 @@ def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024, **
             masks_run = resize_bilinear(masks[..., None], tuple(resolution))[..., 0]
         else:
             rgb_run, masks_run = rgb, masks
-        refined = jax.vmap(lambda im, mk: crf_soft_single(im, mk, params, chunk))(rgb_run, masks_run)
+        refined = jax.vmap(
+            lambda im, mk: crf_soft_single(im, mk, params, chunk, engine=engine)
+        )(rgb_run, masks_run)
         if refined.shape[1:] != (h, w):
             refined = resize_bilinear(refined[..., None], (h, w))[..., 0]
         return refined
