@@ -31,6 +31,34 @@ def _log(msg: str) -> None:
 
 A100_BASELINE_FRAMES_PER_SEC_PER_GPU = 100.0
 
+# Peak dense-matmul throughput per chip, bf16 (f32 is half), for MFU.
+_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),      # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5", 197.0),      # v5e / v5 lite
+    ("v4", 275.0),
+)
+
+
+def _peak_flops(dtype_name: str) -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tf in _PEAK_BF16_TFLOPS:
+        if key in kind:
+            return tf * 1e12 * (1.0 if dtype_name == "bfloat16" else 0.5)
+    return None
+
+
+def _compiled_flops(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as exc:
+        _log(f"cost_analysis unavailable: {exc}")
+        return None
+
 
 def main() -> None:
     # Persist compiled executables across processes (the relay's remote
@@ -79,18 +107,33 @@ def main() -> None:
         init_batch["imgs"], init_batch["gt_fw_flows"], init_batch["gt_bw_flows"], train=True,
     )
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=216), mesh)
-    sharded = shard_batch(batch, mesh)
-    # donate=False: buffer donation has shown InvalidArgument flakiness
-    # through the axon relay; throughput impact is ~nil at this state size.
-    step = make_train_step(model, donate=False)
+    # K optimizer steps per dispatch (the train loop's tpu.scan_steps mode,
+    # parity-tested in tests/test_train_step.py): amortizes the ~1 ms relay
+    # dispatch + host pytree plumbing. BENCH_SCAN_K=1 restores per-step
+    # dispatch.
+    scan_k = int(os.environ.get("BENCH_SCAN_K", "4"))
+    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
+
+    if scan_k > 1:
+        step = make_scanned_train_step(model, scan_k, donate=False)
+        sharded = stack_batches([batch] * scan_k, mesh)
+    else:
+        # donate=False: buffer donation has shown InvalidArgument flakiness
+        # through the axon relay; throughput impact is ~nil at this state size.
+        step = make_train_step(model, donate=False)
+        sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
 
     # Warmup / compile. NOTE: on the axon relay, block_until_ready acks
     # before remote execution completes — a host read of a chain-final value
     # is the only reliable fence, so throughput is measured as the marginal
     # time between two chain lengths, each fenced by reading the last loss.
-    _log(f"compiling train step on {n_chips} chip(s), batch {b}x{i} frames @ {hw}^2")
+    _log(f"compiling train step on {n_chips} chip(s), batch {b}x{i} frames @ {hw}^2"
+         f" (scan_steps={scan_k})")
     t0 = time.perf_counter()
+    lowered = step.lower(state, sharded, jax.random.PRNGKey(0), oc)
+    compiled = lowered.compile()
+    flops_per_dispatch = _compiled_flops(compiled)
     state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
     np.asarray(losses["loss"])
     _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
@@ -103,26 +146,36 @@ def main() -> None:
         return time.perf_counter() - t0
 
     short, long_ = 3, 13
-    per_step = None
+    per_dispatch = None
     for attempt in range(3):
         try:
             t_short = run_chain(short, state)
             t_long = run_chain(long_, state)
-            per_step = (t_long - t_short) / (long_ - short)
+            per_dispatch = (t_long - t_short) / (long_ - short)
             break
         except Exception as exc:  # transient relay errors: retry
             _log(f"attempt {attempt}: {type(exc).__name__}: {exc}; retrying")
             time.sleep(5)
-    if per_step is None:
+    if per_dispatch is None:
         raise RuntimeError("benchmark failed after 3 attempts")
+    per_step = per_dispatch / scan_k
 
     fps_per_chip = b * i / per_step / n_chips
-    print(json.dumps({
+    result = {
         "metric": f"rcf_stage1_train_throughput_{dtype_name}",
         "value": round(fps_per_chip, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_per_chip / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3),
-    }))
+        "scan_steps": scan_k,
+    }
+    # Measured model FLOPs (XLA cost analysis) -> achieved TFLOP/s and MFU.
+    if flops_per_dispatch:
+        achieved = flops_per_dispatch / scan_k / per_step / n_chips
+        result["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
+        peak = _peak_flops(dtype_name)
+        if peak:
+            result["mfu"] = round(achieved / peak, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

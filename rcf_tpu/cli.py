@@ -59,6 +59,28 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", _os.environ["RCF_PLATFORM"])
+
+    # Multi-host (DCN) initialization — the TPU-native counterpart of the
+    # reference's `torch.distributed.run` launcher (README.md:75,
+    # main.py:455). Explicit env wiring (RCF_COORDINATOR etc.) or automatic
+    # TPU-pod detection via RCF_DIST=1. Must run before first JAX use.
+    if _os.environ.get("RCF_COORDINATOR") or _os.environ.get("RCF_DIST"):
+        import jax
+
+        kwargs = {}
+        if _os.environ.get("RCF_COORDINATOR"):
+            kwargs = dict(
+                coordinator_address=_os.environ["RCF_COORDINATOR"],
+                num_processes=int(_os.environ["RCF_NUM_PROCESSES"]),
+                process_id=int(_os.environ["RCF_PROCESS_ID"]),
+            )
+            if _os.environ.get("RCF_LOCAL_DEVICE_IDS"):
+                kwargs["local_device_ids"] = [
+                    int(x) for x in _os.environ["RCF_LOCAL_DEVICE_IDS"].split(",")]
+        jax.distributed.initialize(**kwargs)
+        logger.info(
+            f"jax.distributed initialized: process {jax.process_index()}"
+            f"/{jax.process_count()}, {jax.local_device_count()} local device(s)")
     logger.info(f"Loading config from {cli.config}")
     cfg = load_config(cli.config, opts=cli.opts)
 

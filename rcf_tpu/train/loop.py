@@ -214,8 +214,16 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         return result
 
     # ---------------- training ----------------
-    train_step = make_train_step(model, donate=bool(tpu_cfg.get("donate_state", True)) if tpu_cfg else True,
-                                 crf_fn=_maybe_crf_fn(cfg, model))
+    donate = bool(tpu_cfg.get("donate_state", True)) if tpu_cfg else True
+    scan_k = int(tpu_cfg.get("scan_steps", 1)) if tpu_cfg else 1
+    train_step = make_train_step(model, donate=donate, crf_fn=_maybe_crf_fn(cfg, model))
+    if scan_k > 1:
+        # K optimizer steps per dispatch (tpu.scan_steps): amortizes
+        # dispatch overhead; identical math (train/step.py).
+        from .step import make_scanned_train_step, stack_batches
+
+        scan_step = make_scanned_train_step(
+            model, scan_k, donate=donate, crf_fn=_maybe_crf_fn(cfg, model))
     from .visualize import compose_train_grid, make_vis_step, save_train_grid
 
     vis_step = make_vis_step(model) if cfg.get("model_cls", "RCFModel") == "RCFModel" else None
@@ -241,16 +249,29 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.time()
         oc = jnp.asarray(object_channel if object_channel is not None else 0, jnp.int32)
+        scan_buf = []
         for batch in train_loader:
             arrays = {k: v for k, v in batch.items()
                       if k in ("imgs", "gt_fw_flows", "gt_bw_flows", "pl_masks")}
-            sharded = shard_batch(arrays, mesh)
             rng = jax.random.fold_in(base_rng, global_step)
-            profiler.maybe_start(global_step)
-            state, losses = train_step(state, sharded, rng, oc,
-                                       object_channel_set=object_channel is not None)
-            global_step += 1
-            profiler.maybe_stop(global_step)
+            if scan_k > 1:
+                scan_buf.append(arrays)
+                if len(scan_buf) < scan_k:
+                    continue
+                stacked = stack_batches(scan_buf, mesh)
+                scan_buf = []
+                state, losses = scan_step(state, stacked, base_rng, oc,
+                                          object_channel_set=object_channel is not None)
+                losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
+                sharded = jax.tree_util.tree_map(lambda x: x[-1], stacked)
+                global_step += scan_k
+            else:
+                sharded = shard_batch(arrays, mesh)
+                profiler.maybe_start(global_step)
+                state, losses = train_step(state, sharded, rng, oc,
+                                           object_channel_set=object_channel is not None)
+                global_step += 1
+                profiler.maybe_stop(global_step)
             if global_step % loss_log_interval == 0:
                 vals = {k: float(np.asarray(v)) for k, v in losses.items()}
                 if not np.isfinite(vals["loss"]):

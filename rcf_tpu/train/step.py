@@ -96,6 +96,56 @@ def make_train_step(model, donate: bool = True, crf_fn=None):
     return train_step
 
 
+def make_scanned_train_step(model, k: int, donate: bool = True, crf_fn=None):
+    """K optimizer steps per dispatch via `lax.scan` (identical math).
+
+    Amortizes the per-dispatch overhead (~1 ms through the TPU relay plus
+    host-side pytree plumbing) over K steps: the batch dict carries a
+    leading scan axis [K, B, ...] (shard the batch axis, axis=1). Losses
+    are returned for every sub-step (stacked [K]), so logging granularity
+    is preserved. Use `stack_batches` to build the scan batch.
+    """
+    inner = make_train_step(model, donate=False, crf_fn=crf_fn)
+    # Re-jit as one scanned program; the inner jit collapses during tracing.
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("object_channel_set",),
+        donate_argnums=(0,) if donate else (),
+    )
+    def scanned(state: TrainState, batches: dict, dropout_rng, object_channel,
+                object_channel_set: bool = False):
+        def body(s, batch):
+            rng = jax.random.fold_in(dropout_rng, s.step)
+            s, losses = inner(s, batch, rng, object_channel,
+                              object_channel_set=object_channel_set)
+            return s, losses
+
+        return jax.lax.scan(body, state, batches, length=k)
+
+    return scanned
+
+
+def stack_batches(batches: list, mesh=None) -> dict:
+    """Stack K host batches into one [K, B, ...] scan batch (sharded on B)."""
+    import numpy as np
+
+    out = {}
+    for key in batches[0]:
+        vals = [b[key] for b in batches]
+        if isinstance(vals[0], np.ndarray):
+            stacked = np.stack(vals)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked = jax.device_put(
+                    stacked, NamedSharding(mesh, P(None, "data")))
+            out[key] = stacked
+        else:
+            out[key] = vals[0]
+    return out
+
+
 def make_eval_step(model, use_ema: bool = False):
     """Jitted mask inference: imgs [B, H, W, 3] -> probs [B, h, w, C]."""
 

@@ -1,0 +1,72 @@
+"""Worker for tests/test_multihost.py: one of N real processes.
+
+Runs jax.distributed.initialize on the CPU backend (4 virtual local
+devices), builds the global data mesh, assembles a global batch from its
+process-local slice via shard_batch, and runs ONE full RCF train step
+(forward + backward + Adam + EMA) over the 2x4-device mesh. Prints the
+loss so the parent can check cross-process agreement and equality with a
+single-process run of the same global batch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coordinator, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs, jax.devices()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from rcf_tpu.config import Config
+    from rcf_tpu.models import build_model
+    from rcf_tpu.parallel import create_mesh, replicate, shard_batch
+    from rcf_tpu.train import create_train_state, make_train_step
+
+    mesh = create_mesh()
+    model = build_model(ge._model_kwargs(mask_size=(8, 8)), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    gb, hw = 8, 32  # global batch 8 -> 4 rows per process
+    imgs = rng.standard_normal((gb, 2, hw, hw, 3)).astype(np.float32)
+    fw = (rng.standard_normal((gb, 1, hw, hw, 2)) * 4).astype(np.float32)
+    bw = (rng.standard_normal((gb, 1, hw, hw, 2)) * 4).astype(np.float32)
+
+    lo, hi = pid * gb // nprocs, (pid + 1) * gb // nprocs
+    local = {"imgs": imgs[lo:hi], "gt_fw_flows": fw[lo:hi], "gt_bw_flows": bw[lo:hi]}
+    sharded = shard_batch(local, mesh)
+    assert sharded["imgs"].shape[0] == gb, sharded["imgs"].shape  # global view
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs[:2]), jnp.asarray(fw[:2]), jnp.asarray(bw[:2]), train=True)
+    cfg = Config({
+        "optimizer": "adam", "learning_rate": 1e-3, "weight_decay": 1e-4,
+        "epochs": 10, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
+        "model_kwargs": {"backbone2": {"create_ema": True}},
+    })
+    state = replicate(create_train_state(cfg, model, variables, 10), mesh)
+    step = make_train_step(model, donate=False)
+    state, losses = step(state, sharded, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
+    # The loss is replicated across the global mesh; read this process's
+    # addressable shard.
+    loss = float(np.asarray(losses["loss"].addressable_data(0)))
+    print(f"MULTIHOST_LOSS {pid} {loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

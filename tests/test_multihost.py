@@ -1,0 +1,92 @@
+"""Real multi-process (multi-host) smoke test (VERDICT round-1 item 5).
+
+Spawns 2 REAL processes, each with 4 virtual CPU devices, wired with
+jax.distributed.initialize — the dryrun_multichip equivalent under actual
+process boundaries. Verifies: global 8-device mesh, shard_batch assembling
+a global array from process-local slices, and one full RCF train step
+(fwd+bwd+Adam+EMA incl. cross-host gradient/BN reductions) agreeing with a
+single-process run of the same global batch.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen([sys.executable, worker, coord, str(pid), "2"],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, cwd=repo, env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_LOSS"):
+                _, pid, val = line.split()
+                losses[int(pid)] = float(val)
+    assert set(losses) == {0, 1}, outs
+    # Both processes observe the same global loss.
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+    # Single-process reference on the SAME global batch (8 virtual devices).
+    ref = subprocess.run(
+        [sys.executable, "-c", """
+import os, sys
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+sys.path.insert(0, %r)
+import numpy as np, jax.numpy as jnp
+import __graft_entry__ as ge
+from rcf_tpu.config import Config
+from rcf_tpu.models import build_model
+from rcf_tpu.parallel import create_mesh, replicate, shard_batch
+from rcf_tpu.train import create_train_state, make_train_step
+mesh = create_mesh()
+model = build_model(ge._model_kwargs(mask_size=(8, 8)), dtype=jnp.float32)
+rng = np.random.default_rng(0)
+gb, hw = 8, 32
+imgs = rng.standard_normal((gb, 2, hw, hw, 3)).astype(np.float32)
+fw = (rng.standard_normal((gb, 1, hw, hw, 2)) * 4).astype(np.float32)
+bw = (rng.standard_normal((gb, 1, hw, hw, 2)) * 4).astype(np.float32)
+sharded = shard_batch({'imgs': imgs, 'gt_fw_flows': fw, 'gt_bw_flows': bw}, mesh)
+variables = model.init({'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+                       jnp.asarray(imgs[:2]), jnp.asarray(fw[:2]), jnp.asarray(bw[:2]), train=True)
+cfg = Config({'optimizer': 'adam', 'learning_rate': 1e-3, 'weight_decay': 1e-4,
+              'epochs': 10, 'lr_scheduler_kwargs': {'power': 0.9, 'min_lr': 1e-6},
+              'model_kwargs': {'backbone2': {'create_ema': True}}})
+state = replicate(create_train_state(cfg, model, variables, 10), mesh)
+step = make_train_step(model, donate=False)
+state, losses = step(state, sharded, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
+print('REF_LOSS', float(np.asarray(losses['loss'])))
+""" % repo],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=900)
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    ref_loss = float([l for l in ref.stdout.splitlines()
+                      if l.startswith("REF_LOSS")][0].split()[1])
+    assert losses[0] == pytest.approx(ref_loss, rel=1e-4)

@@ -163,3 +163,62 @@ def test_iou_counts_hard_argmax_mode():
     inter, union = iou_counts(jnp.asarray(probs), jnp.asarray(ann), pos_th=-1)
     assert int(inter[0, 1]) == 16 and int(union[0, 1]) == 16
     assert int(inter[0, 0]) == 0
+
+
+def test_scanned_train_step_matches_sequential():
+    """K scanned steps == K sequential steps (identical math, one dispatch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcf_tpu.config import Config
+    from rcf_tpu.models import build_model
+    from rcf_tpu.train import create_train_state, make_train_step
+    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
+
+    import __graft_entry__ as ge
+
+    model = build_model(ge._model_kwargs(mask_size=(8, 8)), dtype=jnp.float32)
+    cfg = Config({
+        "optimizer": "adam", "learning_rate": 1e-3, "weight_decay": 1e-4,
+        "epochs": 10, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
+        "model_kwargs": {"backbone2": {"create_ema": True}},
+    })
+    rng = np.random.default_rng(0)
+    k, b, hw = 3, 2, 32
+    batches = [{
+        "imgs": rng.standard_normal((b, 2, hw, hw, 3)).astype(np.float32),
+        "gt_fw_flows": (rng.standard_normal((b, 1, hw, hw, 2)) * 4).astype(np.float32),
+        "gt_bw_flows": (rng.standard_normal((b, 1, hw, hw, 2)) * 4).astype(np.float32),
+    } for _ in range(k)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(batches[0]["imgs"]), jnp.asarray(batches[0]["gt_fw_flows"]),
+        jnp.asarray(batches[0]["gt_bw_flows"]), train=True)
+
+    base_rng = jax.random.PRNGKey(7)
+    oc = jnp.zeros((), jnp.int32)
+
+    state_seq = create_train_state(cfg, model, variables, steps_per_epoch=10)
+    step = make_train_step(model, donate=False)
+    seq_losses = []
+    for bt in batches:
+        rng_i = jax.random.fold_in(base_rng, int(state_seq.step))
+        state_seq, losses = step(state_seq, {k2: jnp.asarray(v) for k2, v in bt.items()},
+                                 rng_i, oc)
+        seq_losses.append(float(losses["loss"]))
+
+    state_scan = create_train_state(cfg, model, variables, steps_per_epoch=10)
+    scan_step = make_scanned_train_step(model, k, donate=False)
+    state_scan, losses_k = scan_step(state_scan, stack_batches(batches), base_rng, oc)
+
+    # Scanned XLA program fuses differently -> small float drift compounds
+    # through Adam; an RNG/math bug would diverge at the %% level.
+    np.testing.assert_allclose(np.asarray(losses_k["loss"]), np.array(seq_losses), rtol=2e-3)
+    # Early Adam updates are ~sign(g)*lr, so infinitesimal float drift can
+    # flip individual near-zero-gradient elements by 2*lr; bound the param
+    # gap by a few update magnitudes instead of element-wise rtol.
+    lr = 1e-3
+    for a, bb in zip(jax.tree_util.tree_leaves(state_seq.params),
+                     jax.tree_util.tree_leaves(state_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=0, atol=2.5 * k * lr)

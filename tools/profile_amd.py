@@ -67,12 +67,12 @@ def main():
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=True,
                                            rngs={"dropout": jax.random.PRNGKey(2)},
-                                           mutable=["batch_stats"])[0]["loss"])
+                                           mutable=["batch_stats"])[0][0]["loss"])
     _log(f"full fwd: {timeit(fwd, variables, imgs)*1000:.1f} ms")
 
     grad = jax.jit(jax.grad(lambda p, x: model.apply(
         {"params": p, "batch_stats": variables["batch_stats"]}, x, train=True,
-        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])[0]["loss"]))
+        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])[0][0]["loss"]))
     _log(f"fwd+bwd: {timeit(grad, variables['params'], imgs)*1000:.1f} ms")
 
 
