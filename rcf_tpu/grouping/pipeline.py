@@ -68,17 +68,18 @@ class DinoFeatures:
     params: dict = field(init=False, default=None)
 
     def __post_init__(self):
-        factory = vit_small if self.arch == "vit_small" else vit_base
-        self.model = factory(patch_size=self.patch_size)
+        from ..nn.dino_vit import get_dino_model
+
         ckpt_path = self.checkpoint or os.environ.get("DINO_CHECKPOINT")
         if ckpt_path and os.path.exists(ckpt_path):
-            import torch
-
-            sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-            self.params = import_dino_torch(sd, depth=self.model.depth)
-            logger.info(f"Loaded DINO weights from {ckpt_path}")
+            # arch registry covers DINO/MoCo-v3/MAE checkpoint formats
+            # (reference get_dino_model, models/dino_vit.py:448-520).
+            self.model, self.params = get_dino_model(
+                self.arch, self.patch_size, checkpoint_path=ckpt_path)
+            logger.info(f"Loaded {self.arch} weights from {ckpt_path}")
         else:
+            factory = vit_small if self.arch == "vit_small" else vit_base
+            self.model = factory(patch_size=self.patch_size)
             logger.warning(
                 "No DINO checkpoint available — using random ViT weights "
                 "(set DINO_CHECKPOINT for real runs)"

@@ -166,3 +166,77 @@ def import_dino_torch(sd: dict, depth: int = 12) -> dict:
             "fc2": {"kernel": t(sd[pb + "mlp.fc2.weight"]).T, "bias": t(sd[pb + "mlp.fc2.bias"])},
         }
     return params
+
+
+def moco_vit_small(patch_size: int = 16, **kwargs) -> DinoViT:
+    # Reference quirk kept: MoCo-v3 ViT-S uses 12 heads at embed 384
+    # (`models/dino_vit.py:300-305`), unlike DINO ViT-S's 6.
+    return DinoViT(patch_size=patch_size, embed_dim=384, depth=12, num_heads=12, **kwargs)
+
+
+def moco_vit_base(patch_size: int = 16, **kwargs) -> DinoViT:
+    return DinoViT(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kwargs)
+
+
+def mae_vit_base(patch_size: int = 16, **kwargs) -> DinoViT:
+    return DinoViT(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kwargs)
+
+
+def import_moco_v3_torch(ckpt: dict, depth: int = 12) -> dict:
+    """MoCo-v3 checkpoint -> params: keep module.base_encoder.* (minus the
+    head), strip the prefix (`models/dino_vit.py:487-496`)."""
+    sd = ckpt.get("state_dict", ckpt)
+    prefix = "module.base_encoder."
+    stripped = {
+        k[len(prefix):]: v for k, v in sd.items()
+        if k.startswith(prefix) and not k.startswith(prefix + "head")
+    }
+    return import_dino_torch(stripped, depth=depth)
+
+
+def import_mae_torch(ckpt: dict, depth: int = 12) -> dict:
+    """MAE checkpoint -> params: ckpt['model'] minus decoder_*/mask_token
+    keys (`models/dino_vit.py:497-506`)."""
+    sd = ckpt.get("model", ckpt)
+    kept = {k: v for k, v in sd.items()
+            if not (k.startswith("decoder") or k.startswith("mask_token"))}
+    return import_dino_torch(kept, depth=depth)
+
+
+_DINO_ARCHS = {
+    "vit_small": (vit_small, import_dino_torch),
+    "vit_base": (vit_base, import_dino_torch),
+    "moco_vit_small": (moco_vit_small, import_moco_v3_torch),
+    "moco_vit_base": (moco_vit_base, import_moco_v3_torch),
+    "mae_vit_base": (mae_vit_base, import_mae_torch),
+}
+
+
+def get_dino_model(arch: str, patch_size: int, checkpoint_path: str | None = None):
+    """Resolve arch + checkpoint into (module, params) — the counterpart of
+    the reference's `get_dino_model` (`models/dino_vit.py:448-520`), with a
+    local checkpoint path instead of a download URL (no egress here; set
+    DINO_CHECKPOINT or pass the path from config).
+
+    Returns (DinoViT module, params dict or None). params is None when no
+    checkpoint is given (random weights, with a warning — reference
+    behavior for unknown arch/patch combos).
+    """
+    if arch not in _DINO_ARCHS:
+        raise NotImplementedError(f"unknown DINO arch {arch}")
+    ctor, importer = _DINO_ARCHS[arch]
+    # All supported checkpoints were pretrained at 224^2.
+    model = ctor(patch_size=patch_size, train_grid=224 // patch_size)
+    if checkpoint_path is None:
+        import os
+
+        checkpoint_path = os.environ.get("DINO_CHECKPOINT") or None
+    if checkpoint_path is None:
+        import warnings
+
+        warnings.warn(f"no checkpoint for {arch}/{patch_size}: using random weights")
+        return model, None
+    import torch
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    return model, importer(ckpt, depth=model.depth)

@@ -637,3 +637,43 @@ def test_pwc_lite_import_forward_golden(ref, tmp_path):
             np.testing.assert_allclose(
                 np.moveaxis(np.asarray(ours_f), -1, 1), theirs_f.numpy(),
                 rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch,fmt", [
+    ("moco_vit_small", "moco"), ("mae_vit_base", "mae"), ("vit_small", "dino")])
+def test_dino_family_import_golden(ref, tmp_path, arch, fmt):
+    """MoCo-v3 / MAE / DINO checkpoint key surgery + ViT forward parity vs
+    the reference VisionTransformer (`models/dino_vit.py:448-520`)."""
+    import jax.numpy as jnp
+
+    from rcf_tpu.nn.dino_vit import get_dino_model
+
+    torch.manual_seed(0)
+    patch = 16
+    t_model = getattr(ref.dino_vit, arch)(num_classes=0) if fmt != "dino" else \
+        ref.dino_vit.vit_small(patch_size=patch, num_classes=0)
+    t_model.eval()
+
+    sd = t_model.state_dict()
+    if fmt == "moco":
+        wrapped = {"state_dict": {f"module.base_encoder.{k}": v for k, v in sd.items()}}
+        wrapped["state_dict"]["module.base_encoder.head.weight"] = torch.zeros(2, 2)
+        wrapped["state_dict"]["module.momentum_encoder.cls_token"] = sd["cls_token"]
+    elif fmt == "mae":
+        wrapped = {"model": dict(sd)}
+        wrapped["model"]["mask_token"] = torch.zeros(1, 1, 768)
+        wrapped["model"]["decoder_embed.weight"] = torch.zeros(2, 2)
+    else:
+        wrapped = dict(sd)
+    path = tmp_path / f"{arch}.pth"
+    torch.save(wrapped, path)
+
+    model, params = get_dino_model(arch, patch, checkpoint_path=str(path))
+    assert params is not None
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_tokens = t_model(nchw(x))
+    tokens = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(tokens), t_tokens.numpy(), rtol=2e-3, atol=2e-4)
