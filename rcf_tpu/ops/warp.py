@@ -48,12 +48,59 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return top * (1 - wy) + bot * wy
 
 
+def bilinear_sample_patch(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                          pad: str = "border") -> jnp.ndarray:
+    """`bilinear_sample` with ONE [2, 2, C] patch gather per output pixel.
+
+    Four scalar-granularity gathers per pixel are the TPU-hostile part of
+    bilinear warping; a single lax.gather with slice_sizes (2, 2, C) moves
+    4C contiguous elements per index instead. Border semantics are exact:
+    grid_sample(border) == sampling at coordinates clamped to the image
+    box, so coords are pre-clamped and the patch start clipped to H-2/W-2
+    with the fraction re-derived (weight 1 lands on the second tap at the
+    far edge). Zeros mode masks the output exactly like `bilinear_sample`.
+    """
+    b, h, w, c = img.shape
+    out_shape = x.shape
+    if pad == "border":
+        # grid_sample(border) == sampling at box-clamped coordinates.
+        x = jnp.clip(x, 0, w - 1)
+        y = jnp.clip(y, 0, h - 1)
+    # Patch start clipped so the 2x2 window is in-bounds; per-tap triangle
+    # weights at the ABSOLUTE tap positions then reproduce both padding
+    # modes exactly (an out-of-image true tap gets triangle weight 0, which
+    # is grid_sample's zeros semantics; border was handled by the clamp).
+    x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+    xf = x.reshape(b, -1)
+    yf = y.reshape(b, -1)
+    x0f = x0.reshape(b, -1)
+    y0f = y0.reshape(b, -1)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - x0f))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - (x0f + 1)))
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - y0f))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - (y0f + 1)))
+
+    starts = jnp.stack([y0f, x0f], axis=-1)  # [B, P, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1))
+
+    def gather_one(im, st):
+        return jax.lax.gather(im, st, dnums, (2, 2, c), mode="clip")
+
+    patches = jax.vmap(gather_one)(img, starts)  # [B, P, 2, 2, C]
+    top = patches[:, :, 0, 0] * wx0[..., None] + patches[:, :, 0, 1] * wx1[..., None]
+    bot = patches[:, :, 1, 0] * wx0[..., None] + patches[:, :, 1, 1] * wx1[..., None]
+    vals = top * wy0[..., None] + bot * wy1[..., None]
+    return vals.reshape(*out_shape, c)
+
+
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.ndarray:
     """Backward-warp x [B, H, W, C] by flow [B, H, W, 2] (u=x, v=y)."""
     b, h, w, _ = x.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
                           indexing="ij")
-    return bilinear_sample(x, xs[None] + flow[..., 0], ys[None] + flow[..., 1], pad=pad)
+    return bilinear_sample_patch(x, xs[None] + flow[..., 0], ys[None] + flow[..., 1], pad=pad)
 
 
 def corresponding_map(flow: jnp.ndarray) -> jnp.ndarray:

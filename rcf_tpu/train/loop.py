@@ -110,15 +110,24 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
     from ..parallel.mesh import batch_sharding
 
     n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
+    target_b = int(getattr(loader, "batch_size", 0)) or None
     for batch in loader:
         imgs = batch["imgs"][:, 0]  # [B, H, W, 3]
-        if mesh is not None and imgs.shape[0] % n_dev == 0:
+        b_real = imgs.shape[0]
+        if mesh is not None:
             # Shard eval over the data mesh (the reference evaluates on
-            # rank 0 only, main.py:180-238 — see SURVEY §2.3).
+            # rank 0 only, main.py:180-238 — see SURVEY §2.3). Partial
+            # buckets are padded to the full batch size (one compiled shape
+            # per source-size bucket) and the pad rows dropped after.
+            pad_to = -(-(target_b or b_real) // n_dev) * n_dev
+            if b_real < pad_to:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[:1], pad_to - b_real, axis=0)])
             imgs = jax.device_put(imgs, batch_sharding(mesh))
         else:
             imgs = jnp.asarray(imgs)
-        probs = eval_step(state, imgs)
+        probs = eval_step(state, imgs)[:b_real]
+        imgs = imgs[:b_real]
         frame_ids = [frame_id_from_path(p[0]) for p in batch["paths"]]
         evaluator.process_batch(probs, jnp.asarray(batch["ann"]), batch["seq_names"], frame_ids)
         if save_vis_dir is not None:

@@ -116,7 +116,9 @@ def recipe_amd(dtype):
 
     cfg = load_config("configs/amd/amd.yaml")
     model = build_amd_model(cfg.model_kwargs.to_dict(), dtype=dtype)
-    step, state, sharded = _common(model, b=8)
+    # AMD has no EMA (reference amd config); don't add one to the state.
+    step, state, sharded = _common(
+        model, cfg_extra={"model_kwargs": {"backbone2": {"create_ema": False}}}, b=8)
     per = time_step(step, state, sharded, jnp.zeros((), jnp.int32))
     return per, 16
 
