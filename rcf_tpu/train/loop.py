@@ -25,7 +25,7 @@ from ..eval.harness import Evaluator, Exporter, frame_id_from_path
 from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
-from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint
+from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint, save_checkpoint
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
@@ -314,6 +314,10 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                             val_miou_frame_avg=result.miou_frame_avg,
                             object_channel=object_channel)
             keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
+        else:
+            # Validation disabled this epoch: still checkpoint every epoch
+            # (the reference's ModelCheckpoint runs regardless, main.py:434-436).
+            save_checkpoint(ckpt_dir, "last", state)
 
     if not no_test:
         exporter = None

@@ -93,3 +93,60 @@ def test_eval_sharded_and_bounded_compiles(multi_aspect_data, monkeypatch):
     assert len(set(seen_shapes)) == 3, sorted(set(seen_shapes))
     # All 19 frames were evaluated despite padding.
     assert sum(result.frames_per_seq.values()) == 19 if hasattr(result, "frames_per_seq") else True
+
+
+def test_checkpoint_saved_without_validation(tmp_path, davis_like_cfg=None):
+    """check_val_every_n_epoch=0 still writes `last` every epoch
+    (reference ModelCheckpoint runs regardless, main.py:434-436)."""
+    import os
+    import yaml
+
+    cfg_path = tmp_path / "tiny.yaml"
+    # Reuse the verify-style tiny recipe over the multi_aspect fixture's
+    # sibling davis_like data — built inline here to stay self-contained.
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    lines = []
+    for seq in ("bear",):
+        for sub in ("JPEGImages/480p", "Annotations/480p", "Flows_NewCT/480p",
+                    "BackwardFlows_NewCT/480p"):
+            (root / sub / seq).mkdir(parents=True)
+        frames = []
+        for i in range(10):
+            name = f"{i:05d}"
+            Image.fromarray(rng.integers(0, 255, (96, 160, 3), np.uint8)).save(
+                root / "JPEGImages/480p" / seq / f"{name}.jpg")
+            Image.fromarray((rng.random((96, 160)) > 0.5).astype(np.uint8) * 255).save(
+                root / "Annotations/480p" / seq / f"{name}.png")
+            flow = rng.standard_normal((96, 160, 2)).astype(np.float32)
+            np.save(root / "Flows_NewCT/480p" / seq / f"{name}.npy", flow)
+            np.save(root / "BackwardFlows_NewCT/480p" / seq / f"{name}.npy", -flow)
+            frames.append(f"{name}.jpg")
+        lines.append(f"JPEGImages/480p/{seq}/ " + " ".join(frames))
+    (root / "trainval.txt").write_text("\n".join(lines) + "\n")
+    (root / "val.txt").write_text("\n".join(lines) + "\n")
+
+    cfg_path.write_text(yaml.safe_dump({
+        "base_config": "/root/repo/configs/rcf/rcf_stage1.yaml",
+        "data_path": str(root), "checkpoints_dir": str(tmp_path / "ckpt"),
+        "batch_size": 1, "global_batch_size": 8, "epochs": 1, "workers": 0,
+        "pretrained_model": None,
+        "trainer_kwargs": {"check_val_every_n_epoch": 0},  # validation off
+        "train_transform_kwargs": {"strong_aug": True, "crop_size": [64, 64],
+                                   "base_scale": [9999, 66]},
+        "model_kwargs": {
+            "mask_size": [16, 16],
+            "backbone2": {"depth": 18},
+            "decode_head": {"mask_size": [16, 16]},
+            "decode_head2": {"in_channels": [64, 512]},
+            "decode_head3": {"in_channels": 1024},
+        },
+    }))
+    from rcf_tpu.config import load_config
+    from rcf_tpu.train.loop import run
+
+    run(load_config(str(cfg_path)), no_test=True)
+    assert os.path.isdir(tmp_path / "ckpt" / "last")
