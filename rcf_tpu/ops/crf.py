@@ -126,20 +126,8 @@ class CRFParams:
     crf_scale: float = 0.7
 
 
-def _use_pallas(n: int, requested: bool | None) -> bool:
-    # Measured on v5e (192^2, 50 iters): XLA chunked attention 0.159s/image
-    # vs the Pallas flash kernel 0.242s — XLA's fusion wins at contraction
-    # dim 8, so the kernel is opt-in (kept for larger feature dims / future
-    # tuning). Request explicitly via use_pallas=True.
-    if requested is None or jax.default_backend() == "cpu":
-        return False
-    # Keys+values must fit comfortably in VMEM alongside the logits tile.
-    return requested and n * 9 * 4 < 12 * 1024 * 1024
-
-
 def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
-                    chunk: int = 1024, use_pallas: bool | None = None,
-                    engine: str = "grid") -> jnp.ndarray:
+                    chunk: int = 1024, engine: str = "grid") -> jnp.ndarray:
     """One image: [H, W, 3] uint8 + [H, W] soft mask -> [H, W] binary MAP.
 
     Binary labels let the mean field track only the foreground channel: the
@@ -153,8 +141,10 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
       counterpart of the reference's CUDA permutohedral lattice
       (`permutohedral_gpu.cu:432`); >=97% MAP agreement vs the exact engine
       (`tests/test_bilateral_grid.py`).
-    * ``"attention"`` — exact O(N^2) chunked MXU attention (or the opt-in
-      Pallas flash kernel via ``use_pallas``): the reference for quality.
+    * ``"attention"`` — exact O(N^2) chunked MXU attention: the quality
+      reference. (A Pallas flash-bilateral kernel was measured SLOWER than
+      XLA's fused attention at feature dim 5-8 and was removed; the grid
+      lattice is the fast path.)
     """
     h, w = mask.shape
     n = h * w
@@ -162,7 +152,6 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
     app_feat = _pixel_features(rgb_u8, params.sxy, params.srgb)
     use_smooth = params.scomp_smooth > 0.0 and params.sxy_smooth > 0.0
     smooth_feat = _xy_features(h, w, params.sxy_smooth) if use_smooth else None
-    pallas_on = _use_pallas(n, use_pallas)
 
     if engine == "grid":
         from .bilateral_grid import _grid_dims, build_lattice, lattice_filter
@@ -183,10 +172,6 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
             return lattice_filter(sm_lat, q1) / sm_norm
     else:
         def _attn(feat, q1):
-            if pallas_on:
-                from .pallas.bilateral import normalized_filter_pallas
-
-                return normalized_filter_pallas(feat, q1)
             return _normalized_filter(feat, q1[:, None], chunk)[:, 0]
 
         def filt_app(q1):

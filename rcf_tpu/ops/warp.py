@@ -96,11 +96,15 @@ def bilinear_sample_patch(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.ndarray:
-    """Backward-warp x [B, H, W, C] by flow [B, H, W, 2] (u=x, v=y)."""
+    """Backward-warp x [B, H, W, C] by flow [B, H, W, 2] (u=x, v=y).
+
+    Uses the 4-tap gather form: measured FASTER on TPU than the single
+    [2,2,C] patch-gather variant below (XLA lowers small-slice gathers per
+    element either way, and the 4-tap form fuses with the interpolation)."""
     b, h, w, _ = x.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
                           indexing="ij")
-    return bilinear_sample_patch(x, xs[None] + flow[..., 0], ys[None] + flow[..., 1], pad=pad)
+    return bilinear_sample(x, xs[None] + flow[..., 0], ys[None] + flow[..., 1], pad=pad)
 
 
 def corresponding_map(flow: jnp.ndarray) -> jnp.ndarray:
