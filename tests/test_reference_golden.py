@@ -677,3 +677,37 @@ def test_dino_family_import_golden(ref, tmp_path, arch, fmt):
         t_tokens = t_model(nchw(x))
     tokens = model.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(tokens), t_tokens.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_unflow_loss_composed_golden(ref):
+    """Composed multi-scale unFlowLoss (occlusion masks + photometric +
+    scale weighting) vs the reference module (`models/amd/flow_loss.py`)."""
+    import jax.numpy as jnp
+
+    from rcf_tpu.losses.unflow import UnFlowLossCfg, unflow_loss
+
+    cfg_dict = {"alpha": 10, "ssim_sz": 1, "occ_from_back": True, "type": "unflow",
+                "w_l1": 0.15, "w_scales": [1.0, 1.0, 1.0, 1.0, 0.0],
+                "w_sm_scales": [1.0, 0.0, 0.0, 0.0, 0.0], "w_real_smooth": 0.0,
+                "w_ssim": 0.85, "w_ternary": 0.0, "warp_pad": "border",
+                "with_bk": True}
+    t_loss_mod = ref.flow_loss.unFlowLoss(ref.flow_head.Objectview(dict(cfg_dict)))
+
+    rng = np.random.default_rng(11)
+    b, h, w = 2, 64, 96
+    im1 = rng.random((b, h, w, 3)).astype(np.float32)
+    im2 = rng.random((b, h, w, 3)).astype(np.float32)
+    pyr = [(rng.standard_normal((b, h // s, w // s, 4)) * 4).astype(np.float32)
+           for s in (1, 2, 4, 8, 16)]
+
+    with torch.no_grad():
+        t_total, t_warp, _, t_abs = t_loss_mod(
+            [nchw(p) for p in pyr], torch.cat([nchw(im1), nchw(im2)], dim=1))
+
+    cfg = UnFlowLossCfg(**{k: (tuple(v) if isinstance(v, list) else v)
+                           for k, v in cfg_dict.items() if k != "type"})
+    total, warp, _, abs0 = unflow_loss(
+        [jnp.asarray(p) for p in pyr], jnp.asarray(im1), jnp.asarray(im2), cfg)
+    np.testing.assert_allclose(float(total), t_total.item(), rtol=2e-4)
+    np.testing.assert_allclose(float(warp), t_warp.item(), rtol=2e-4)
+    np.testing.assert_allclose(float(abs0), t_abs.item(), rtol=1e-5)
