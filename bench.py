@@ -87,7 +87,7 @@ def main() -> None:
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
-    batch_per_chip = 8  # reference per-GPU batch (README.md:75-77)
+    batch_per_chip = int(os.environ.get("BENCH_BATCH", "8"))  # reference per-GPU batch (README.md:75-77)
     b, i, hw = batch_per_chip * n_chips, 2, 384
     model = build_model(ge._model_kwargs(mask_size=(96, 96)), dtype=dtype)
     cfg = Config({
@@ -169,8 +169,12 @@ def main() -> None:
         "scan_steps": scan_k,
     }
     # Measured model FLOPs (XLA cost analysis) -> achieved TFLOP/s and MFU.
+    # NOTE: cost_analysis counts a lax.scan/while body ONCE regardless of
+    # trip count, so a scanned dispatch's flops are already per-step
+    # (validated against a CPU lowering of the unscanned step: 8.80 vs
+    # 8.71 TFLOP at the bench shapes).
     if flops_per_dispatch:
-        achieved = flops_per_dispatch / scan_k / per_step / n_chips
+        achieved = flops_per_dispatch / per_step / n_chips
         result["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
         peak = _peak_flops(dtype_name)
         if peak:

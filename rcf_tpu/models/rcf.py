@@ -159,9 +159,11 @@ class RCFModel(nn.Module):
 
         def regroup(feat, order):
             n, h, w, ch = feat.shape
-            f = feat.reshape(batch, im_num, h, w, ch)[:, order]
-            # frame-major channel concat, matching torch cat(dim=1).
-            return jnp.moveaxis(f, 1, 3).reshape(batch, h, w, im_num * ch)
+            f = feat.reshape(batch, im_num, h, w, ch)
+            # frame-major channel concat, matching torch cat(dim=1) — deferred
+            # as a tuple so FCNHead's split conv0 slices the kernel instead of
+            # materializing the [B, h, w, I*ch] interleave (fcn_head._picked).
+            return tuple(f[:, o] for o in order)
 
         if self.separate_residual:
             # One head call over frame-major concat features; 4*C outputs
