@@ -1,28 +1,36 @@
-"""Benchmark: stage-1 RCF training throughput (frames/sec/chip) on TPU.
+"""Benchmark: RCF training throughput (frames/sec/chip) on TPU.
 
-Runs the real stage-1 model (ResNet50 OS4/8 + FCN heads + relaxed
+Headline metric: the stage-1 recipe (ResNet50 OS4/8 + FCN heads + relaxed
 common-fate loss + EMA) at the published training shapes (384x384 crops,
 2-frame windows) on synthetic data, measuring steady-state optimizer-step
-throughput on the available chips.
+throughput. Additionally (VERDICT r1 item 10) the stage-2.1 (fused
+in-training CRF) and AMD (PWC-Lite flownet) recipes are benchmarked in
+timeout-guarded subprocesses and reported as extra fields of the same JSON
+line, so the driver artifact reflects every recipe the README claims.
 
 The reference publishes no wall-clock numbers (SURVEY.md §6). `vs_baseline`
 is measured against an estimated 100 frames/s/GPU for the reference's
 PyTorch fp32 stage-1 recipe on an A100 (dilated output-stride-8 ResNet50
 fwd+bwd at 384^2 with batch 8x2 frames) — see BASELINE.md; the absolute
-`value` is the durable metric.
+`value` is the durable metric. `mfu` is measured FLOPs (XLA cost analysis,
+scan-body counted once — validated against a CPU lowering) over the chip's
+peak bf16 matmul throughput.
 
 Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
+
+Env knobs: BENCH_DTYPE (bfloat16|float32), BENCH_BATCH (8), BENCH_SCAN_K (4),
+BENCH_RECIPES (all|stage1), BENCH_EXTRA_TIMEOUT (s, per extra recipe).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -40,7 +48,23 @@ _PEAK_BF16_TFLOPS = (
 )
 
 
+def _configure_jax():
+    import jax
+
+    # Persist compiled executables across processes (the relay's remote
+    # compile can take minutes; a cached hit skips it entirely).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return jax
+
+
 def _peak_flops(dtype_name: str) -> float | None:
+    import jax
+
     kind = jax.devices()[0].device_kind.lower()
     for key, tf in _PEAK_BF16_TFLOPS:
         if key in kind:
@@ -60,15 +84,49 @@ def _compiled_flops(compiled) -> float | None:
         return None
 
 
-def main() -> None:
-    # Persist compiled executables across processes (the relay's remote
-    # compile can take minutes; a cached hit skips it entirely).
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+def _measure_chain(step_call, state, fence) -> float:
+    """Marginal time per dispatch between a 3- and a 13-call chain.
+
+    On the axon relay, block_until_ready acks before remote execution
+    completes — a host read of a chain-final value is the only reliable
+    fence, so throughput is the marginal time between two chain lengths.
+    """
+    def run_chain(n_steps: int, s) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for k in range(n_steps):
+            s, out = step_call(s, k)
+        fence(out)
+        return time.perf_counter() - t0
+
+    for attempt in range(3):
+        try:
+            t_short = run_chain(3, state)
+            t_long = run_chain(13, state)
+            return (t_long - t_short) / 10.0
+        except Exception as exc:  # transient relay errors: retry
+            _log(f"attempt {attempt}: {type(exc).__name__}: {exc}; retrying")
+            time.sleep(5)
+    raise RuntimeError("benchmark failed after 3 attempts")
+
+
+def _stage_kwargs(recipe: str):
+    import __graft_entry__ as ge
+
+    mk = ge._model_kwargs(mask_size=(96, 96))
+    if recipe == "stage21":
+        # configs/rcf/rcf_stage2.1.yaml model_kwargs
+        mk.update(w_seg=1.0, w_entropy=0.0, w_crf=10.0, crf_use_ema=True,
+                  crf_pos_weight=2.0, crf_neg_weight=1.0, ema_m=0.999)
+        mk["decode_head2"]["create_ema"] = True
+        mk["crf_head"] = {"type": "CRFHead", "resolution": [96, 96]}
+    return mk
+
+
+def bench_rcf(recipe: str) -> dict:
+    """stage1 / stage21: full train step (fwd, losses, bwd, Adam, EMA)."""
+    jax = _configure_jax()
+    import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from rcf_tpu.config import Config
@@ -79,17 +137,19 @@ def main() -> None:
     n_chips = len(jax.devices())
     mesh = create_mesh()
 
-    import os
-
-    # bf16 mixed precision (fp32 params/solves) is the TPU-native recipe:
-    # 155.5 vs 106.5 frames/s/chip measured on v5e; the reference itself
-    # ships 16-bit AMP configs for STv2/FBMS59. Override with BENCH_DTYPE.
+    # bf16 mixed precision (fp32 params/solves) is the TPU-native recipe;
+    # the reference itself ships 16-bit AMP configs for STv2/FBMS59.
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     batch_per_chip = int(os.environ.get("BENCH_BATCH", "8"))  # reference per-GPU batch (README.md:75-77)
     b, i, hw = batch_per_chip * n_chips, 2, 384
-    model = build_model(ge._model_kwargs(mask_size=(96, 96)), dtype=dtype)
+    model = build_model(_stage_kwargs(recipe), dtype=dtype)
+    crf_fn = None
+    if model.w_crf > 0:
+        from rcf_tpu.ops.crf import make_crf_fn
+
+        crf_fn = make_crf_fn(**(model.crf_head_kwargs or {}))
     cfg = Config({
         "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-4,
         "epochs": 200, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
@@ -114,71 +174,150 @@ def main() -> None:
     scan_k = int(os.environ.get("BENCH_SCAN_K", "4"))
     from rcf_tpu.train.step import make_scanned_train_step, stack_batches
 
+    oc_set = recipe == "stage21"  # CRF loss requires an elected channel
     if scan_k > 1:
-        step = make_scanned_train_step(model, scan_k, donate=False)
+        step = make_scanned_train_step(model, scan_k, donate=False, crf_fn=crf_fn)
         sharded = stack_batches([batch] * scan_k, mesh)
     else:
         # donate=False: buffer donation has shown InvalidArgument flakiness
         # through the axon relay; throughput impact is ~nil at this state size.
-        step = make_train_step(model, donate=False)
+        step = make_train_step(model, donate=False, crf_fn=crf_fn)
         sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
 
-    # Warmup / compile. NOTE: on the axon relay, block_until_ready acks
-    # before remote execution completes — a host read of a chain-final value
-    # is the only reliable fence, so throughput is measured as the marginal
-    # time between two chain lengths, each fenced by reading the last loss.
-    _log(f"compiling train step on {n_chips} chip(s), batch {b}x{i} frames @ {hw}^2"
-         f" (scan_steps={scan_k})")
+    _log(f"compiling {recipe} train step on {n_chips} chip(s), batch {b}x{i} frames"
+         f" @ {hw}^2 (scan_steps={scan_k})")
     t0 = time.perf_counter()
-    lowered = step.lower(state, sharded, jax.random.PRNGKey(0), oc)
+    lowered = step.lower(state, sharded, jax.random.PRNGKey(0), oc, object_channel_set=oc_set)
     compiled = lowered.compile()
-    flops_per_dispatch = _compiled_flops(compiled)
-    state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
+    flops_per_step = _compiled_flops(compiled)  # scan body counted once
+    state, losses = step(state, sharded, jax.random.PRNGKey(0), oc, object_channel_set=oc_set)
     np.asarray(losses["loss"])
     _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
 
-    def run_chain(n_steps: int, s) -> float:
-        t0 = time.perf_counter()
-        for k in range(n_steps):
-            s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc)
-        np.asarray(losses["loss"])  # forces the whole chain
-        return time.perf_counter() - t0
+    def step_call(s, k):
+        s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc,
+                         object_channel_set=oc_set)
+        return s, losses
 
-    short, long_ = 3, 13
-    per_dispatch = None
-    for attempt in range(3):
-        try:
-            t_short = run_chain(short, state)
-            t_long = run_chain(long_, state)
-            per_dispatch = (t_long - t_short) / (long_ - short)
-            break
-        except Exception as exc:  # transient relay errors: retry
-            _log(f"attempt {attempt}: {type(exc).__name__}: {exc}; retrying")
-            time.sleep(5)
-    if per_dispatch is None:
-        raise RuntimeError("benchmark failed after 3 attempts")
+    per_dispatch = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"]))
     per_step = per_dispatch / scan_k
 
     fps_per_chip = b * i / per_step / n_chips
     result = {
-        "metric": f"rcf_stage1_train_throughput_{dtype_name}",
+        "metric": f"rcf_{recipe}_train_throughput_{dtype_name}",
         "value": round(fps_per_chip, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps_per_chip / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3),
         "scan_steps": scan_k,
     }
-    # Measured model FLOPs (XLA cost analysis) -> achieved TFLOP/s and MFU.
-    # NOTE: cost_analysis counts a lax.scan/while body ONCE regardless of
-    # trip count, so a scanned dispatch's flops are already per-step
-    # (validated against a CPU lowering of the unscanned step: 8.80 vs
-    # 8.71 TFLOP at the bench shapes).
-    if flops_per_dispatch:
-        achieved = flops_per_dispatch / per_step / n_chips
+    if flops_per_step:
+        achieved = flops_per_step / per_step / n_chips
         result["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
         peak = _peak_flops(dtype_name)
         if peak:
             result["mfu"] = round(achieved / peak, 3)
+    return result
+
+
+def bench_amd() -> dict:
+    """AMD baseline: PWC-Lite cost volumes + unFlow loss, full train step."""
+    jax = _configure_jax()
+    import jax.numpy as jnp
+
+    from rcf_tpu.config import Config
+    from rcf_tpu.models.amd import build_amd_model
+    from rcf_tpu.parallel import create_mesh, replicate, shard_batch
+    from rcf_tpu.train import create_train_state, make_train_step
+
+    n_chips = len(jax.devices())
+    mesh = create_mesh()
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    b, hw = 8 * n_chips, 384
+    mk = {
+        "w_seg": 1.0, "mask_layer": 5,
+        "backbone2": {"depth": 50, "num_stages": 4, "out_indices": [0, 1, 2, 3],
+                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
+                      "contract_dilation": True},
+        "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
+                         "channels": 256, "num_convs": 2, "dilation": 6,
+                         "dropout_ratio": 0.1, "num_classes": 5, "concat_input": False},
+    }
+    model = build_amd_model(mk, dtype=dtype)
+    cfg = Config({
+        "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-6,
+        "epochs": 8, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
+        "model_kwargs": {},
+    })
+    rng = np.random.default_rng(0)
+    batch = {"imgs": rng.standard_normal((b, 2, hw, hw, 3)).astype(np.float32)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["imgs"][:2]), train=True,
+    )
+    state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=100), mesh)
+    step = make_train_step(model, donate=False)
+    sharded = shard_batch(batch, mesh)
+    oc = jnp.zeros((), jnp.int32)
+
+    _log(f"compiling AMD train step on {n_chips} chip(s), batch {b}x2 @ {hw}^2")
+    t0 = time.perf_counter()
+    state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
+    np.asarray(losses["loss"])
+    _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
+
+    def step_call(s, k):
+        s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc)
+        return s, losses
+
+    per_step = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"]))
+    return {
+        "metric": f"amd_train_throughput_{dtype_name}",
+        "value": round(b * 2 / per_step / n_chips, 2),
+        "unit": "frames/sec/chip",
+    }
+
+
+def _run_recipe_subprocess(recipe: str, timeout_s: float) -> dict | None:
+    """Run one extra recipe in a subprocess (its compile can't hang us)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--recipe", recipe],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        _log(f"{recipe}: no JSON in output (rc={proc.returncode}); "
+             f"stderr tail: {proc.stderr[-300:]}")
+    except subprocess.TimeoutExpired:
+        _log(f"{recipe}: timed out after {timeout_s:.0f}s; skipping")
+    except Exception as exc:
+        _log(f"{recipe}: {type(exc).__name__}: {exc}; skipping")
+    return None
+
+
+def main() -> None:
+    if "--recipe" in sys.argv:
+        recipe = sys.argv[sys.argv.index("--recipe") + 1]
+        result = bench_amd() if recipe == "amd" else bench_rcf(recipe)
+        print(json.dumps(result))
+        return
+
+    result = bench_rcf("stage1")
+    result["vs_baseline"] = round(
+        result["value"] / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3)
+
+    if os.environ.get("BENCH_RECIPES", "all") == "all":
+        timeout_s = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "540"))
+        for recipe, field in (("stage21", "stage21_frames_per_sec_per_chip"),
+                              ("amd", "amd_frames_per_sec_per_chip")):
+            extra = _run_recipe_subprocess(recipe, timeout_s)
+            if extra:
+                result[field] = extra["value"]
+
     print(json.dumps(result))
 
 

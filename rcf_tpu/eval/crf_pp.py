@@ -64,17 +64,19 @@ def _load_pair(img_path, ann_path):
 
 def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
         allow_skip: bool = False, batch: int = 8, chunk: int = 1024,
-        crf_scale: float = 0.8, iters: int = 50, engine: str = "device",
-        resolution: tuple[int, int] | None = None, jobs: int = 8,
-        device_engine: str = "grid") -> str:
+        crf_scale: float = 0.8, iters: int = 50, engine: str = "native",
+        resolution: tuple[int, int] | None = None, jobs: int = 8) -> str:
     """Engines:
-    * ``device`` (default): on-device mean field, batched over frames —
-      the O(N) bilateral-grid lattice at FULL 480p resolution
-      (``device_engine="grid"``; "attention" = exact O(N^2), pair with
-      ``resolution``);
-    * ``native``: the from-scratch C++ permutohedral lattice, threaded over
-      frames on the host (no GNU-parallel fan-out needed; useful when the
-      accelerator is busy training).
+    * ``native`` (default): the from-scratch C++ permutohedral lattice at
+      full resolution, threaded over frames on the host — the same design
+      point as the reference's 32-way CPU pydensecrf fan-out
+      (`tools/pydenseCRF/crf_parallel.sh`), minus GNU parallel; ~3.4 s/frame
+      per core at 480p x 50 iters, so a TPU-VM host (100+ cores) sustains
+      ~30 frames/s without touching the accelerator.
+    * ``device``: exact O(N^2) attention mean field on the TPU, batched over
+      frames; quadratic, so pair with ``resolution`` for large frames.
+      (An O(N) on-device lattice was built and removed after measurement —
+      see `ops/crf.py::crf_soft_single`.)
     """
     out_dir = annotation_dir.rstrip("/") + "_crf"
     os.makedirs(out_dir, exist_ok=True)
@@ -106,9 +108,9 @@ def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
             img_f = resize_bilinear(img_u8.astype(jnp.float32)[None], tuple(resolution))[0]
             img_run = jnp.clip(img_f, 0, 255).astype(jnp.uint8)
             mask_run = resize_bilinear(mask01[None, ..., None], tuple(resolution))[0, ..., 0]
-            refined = crf_soft_single(img_run, mask_run, params, chunk, engine=device_engine)
+            refined = crf_soft_single(img_run, mask_run, params, chunk)
             return resize_bilinear(refined[None, ..., None], (h, w))[0, ..., 0]
-        return crf_soft_single(img_u8, mask01, params, chunk, engine=device_engine)
+        return crf_soft_single(img_u8, mask01, params, chunk)
 
     crf_batched = jax.jit(jax.vmap(dev_one))
     pending: list[tuple[np.ndarray, np.ndarray, str]] = []
@@ -145,8 +147,7 @@ def main(argv=None) -> int:
     parser.add_argument("--allow_skip", action="store_true")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--chunk", type=int, default=1024)
-    parser.add_argument("--engine", choices=["native", "device"], default="device")
-    parser.add_argument("--device-engine", choices=["grid", "attention"], default="grid")
+    parser.add_argument("--engine", choices=["native", "device"], default="native")
     parser.add_argument("--resolution", type=int, nargs=2, default=None,
                         help="optional reduced mean-field grid (full-res default)")
     parser.add_argument("--jobs", type=int, default=8, help="native-engine threads")
@@ -155,7 +156,7 @@ def main(argv=None) -> int:
     out = run(args.input, args.annotation_dir, args.step, args.seq, args.allow_skip,
               args.batch, args.chunk, engine=args.engine,
               resolution=tuple(args.resolution) if args.resolution else None,
-              jobs=args.jobs, device_engine=args.device_engine)
+              jobs=args.jobs)
     logger.info(f"Refined masks written to {out}")
     return 0
 

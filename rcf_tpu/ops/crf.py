@@ -127,24 +127,27 @@ class CRFParams:
 
 
 def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
-                    chunk: int = 1024, engine: str = "grid") -> jnp.ndarray:
+                    chunk: int = 1024, engine: str = "attention") -> jnp.ndarray:
     """One image: [H, W, 3] uint8 + [H, W] soft mask -> [H, W] binary MAP.
 
     Binary labels let the mean field track only the foreground channel: the
     normalized filter preserves the simplex (filter(q0) = 1 - filter(q1)),
     so each iteration needs ONE filtered channel.
 
-    engine:
-    * ``"grid"`` (default) — O(N) bilateral-grid lattice
-      (`ops/bilateral_grid.py`): splat/blur/slice structure built once per
-      image, each iteration is gathers + one cumsum. This is the TPU
-      counterpart of the reference's CUDA permutohedral lattice
-      (`permutohedral_gpu.cu:432`); >=97% MAP agreement vs the exact engine
-      (`tests/test_bilateral_grid.py`).
-    * ``"attention"`` — exact O(N^2) chunked MXU attention: the quality
-      reference. (A Pallas flash-bilateral kernel was measured SLOWER than
-      XLA's fused attention at feature dim 5-8 and was removed; the grid
-      lattice is the fast path.)
+    engine: ``"attention"`` — exact O(N^2) chunked MXU attention.
+
+    Negative results, measured on v5e so the next reader doesn't retry them:
+    a Pallas flash-bilateral kernel lost to XLA's fused attention at feature
+    dim 5-8 (0.24 vs 0.16 s/img at 192^2) and was removed; an O(N)
+    sort/cumsum/gather bilateral-grid lattice (the TPU analogue of the
+    reference's CUDA permutohedral hash, `permutohedral_gpu.cu:432`) was
+    built, validated >=97% MAP agreement, and measured 3.0 s/img at 128^2 —
+    TPU scalar gathers run ~65M elem/s, ~100x slower than the equivalent
+    HBM traffic — and was removed too (git history: ops/bilateral_grid.py).
+    Exact attention on the MXU is the fast path at mean-field resolutions;
+    full-resolution offline post-processing uses the threaded native C++
+    lattice (`ops/crf_native.py`), matching the reference's own CPU
+    pydensecrf fan-out (`tools/pydenseCRF/crf_parallel.sh`).
     """
     h, w = mask.shape
     n = h * w
@@ -153,32 +156,17 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
     use_smooth = params.scomp_smooth > 0.0 and params.sxy_smooth > 0.0
     smooth_feat = _xy_features(h, w, params.sxy_smooth) if use_smooth else None
 
-    if engine == "grid":
-        from .bilateral_grid import _grid_dims, build_lattice, lattice_filter
+    if engine != "attention":
+        raise ValueError(f"unknown CRF engine {engine!r} (see docstring)")
 
-        app_max = ((w - 1) / params.sxy, (h - 1) / params.sxy,
-                   255.0 / params.srgb, 255.0 / params.srgb, 255.0 / params.srgb)
-        app_lat = build_lattice(app_feat, _grid_dims(app_max))
-        app_norm = jnp.maximum(lattice_filter(app_lat, jnp.ones((n,), jnp.float32)), 1e-20)
-        if use_smooth:
-            sm_max = ((w - 1) / params.sxy_smooth, (h - 1) / params.sxy_smooth)
-            sm_lat = build_lattice(smooth_feat, _grid_dims(sm_max))
-            sm_norm = jnp.maximum(lattice_filter(sm_lat, jnp.ones((n,), jnp.float32)), 1e-20)
+    def _attn(feat, q1):
+        return _normalized_filter(feat, q1[:, None], chunk)[:, 0]
 
-        def filt_app(q1):
-            return lattice_filter(app_lat, q1) / app_norm
+    def filt_app(q1):
+        return _attn(app_feat, q1)
 
-        def filt_smooth(q1):
-            return lattice_filter(sm_lat, q1) / sm_norm
-    else:
-        def _attn(feat, q1):
-            return _normalized_filter(feat, q1[:, None], chunk)[:, 0]
-
-        def filt_app(q1):
-            return _attn(app_feat, q1)
-
-        def filt_smooth(q1):
-            return _attn(smooth_feat, q1)
+    def filt_smooth(q1):
+        return _attn(smooth_feat, q1)
 
     # d = unary0 - unary1; q1 = sigmoid(d + w*(2 f1 - 1) + ...).
     du = unary[:, 0] - unary[:, 1]
@@ -195,13 +183,14 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
 
 
 def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024,
-                engine: str = "grid", **kwargs):
+                engine: str = "attention", **kwargs):
     """Batched CRF: (normalized imgs [N, H, W, 3], masks [N, H, W]) -> [N, H, W].
 
     ``resolution``: optionally run the mean field on a downscaled grid (the
     in-training CRF target is consumed at mask resolution — see module doc);
     ``None`` runs at the input resolution (exact reference behavior).
-    ``engine``: "grid" (O(N) lattice, default) or "attention" (exact O(N^2)).
+    ``engine``: "attention" (exact O(N^2) on the MXU; see crf_soft_single
+    for the measured negative results on O(N) device lattices).
     """
     params = CRFParams(**{k: v for k, v in kwargs.items() if k in CRFParams.__dataclass_fields__})
 
