@@ -120,6 +120,10 @@ def _stage_kwargs(recipe: str):
                   crf_pos_weight=2.0, crf_neg_weight=1.0, ema_m=0.999)
         mk["decode_head2"]["create_ema"] = True
         mk["crf_head"] = {"type": "CRFHead", "resolution": [96, 96]}
+    else:
+        # The published stage-1 recipe trains WITHOUT EMA
+        # (configs/rcf/rcf_stage1.yaml; EMA appears in stage 2.1).
+        mk["backbone2"].pop("create_ema", None)
     return mk
 
 
@@ -144,7 +148,8 @@ def bench_rcf(recipe: str) -> dict:
 
     batch_per_chip = int(os.environ.get("BENCH_BATCH", "8"))  # reference per-GPU batch (README.md:75-77)
     b, i, hw = batch_per_chip * n_chips, 2, 384
-    model = build_model(_stage_kwargs(recipe), dtype=dtype)
+    mk = _stage_kwargs(recipe)
+    model = build_model(mk, dtype=dtype)
     crf_fn = None
     if model.w_crf > 0:
         from rcf_tpu.ops.crf import make_crf_fn
@@ -153,7 +158,7 @@ def bench_rcf(recipe: str) -> dict:
     cfg = Config({
         "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-4,
         "epochs": 200, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
-        "model_kwargs": {"backbone2": {"create_ema": True}},
+        "model_kwargs": {"backbone2": mk["backbone2"]},
     })
     rng = np.random.default_rng(0)
     batch = {

@@ -96,8 +96,10 @@ class AMDModel(nn.Module):
             raw = imgs.astype(jnp.float32) / 255.0
         else:
             raw = imgs * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
-        im1 = resize_bilinear(raw[:, 0], self.flow_size, align_corners=True)
-        im2 = resize_bilinear(raw[:, 1], self.flow_size, align_corners=True)
+        # Image values in the compute dtype (bf16 warps ~1.7x faster; warp
+        # COORDINATES stay f32 inside ops/warp.py). f32 runs are unchanged.
+        im1 = resize_bilinear(raw[:, 0], self.flow_size, align_corners=True).astype(self.dtype)
+        im2 = resize_bilinear(raw[:, 1], self.flow_size, align_corners=True).astype(self.dtype)
 
         res = self.flownet(im1, im2, probs[:, 0], probs[:, 1], with_bk=True)
 
