@@ -311,12 +311,22 @@ def main() -> None:
         print(json.dumps(result))
         return
 
+    # Headline first — it must never be lost to an extra recipe's compile.
     result = bench_rcf("stage1")
     result["vs_baseline"] = round(
         result["value"] / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3)
 
     if os.environ.get("BENCH_RECIPES", "all") == "all":
-        timeout_s = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "540"))
+        # Release this process's TPU client so the children don't contend
+        # with it through the relay (each child compiles its own program;
+        # stage-2.1 is ~5 min cold).
+        try:
+            import jax._src.xla_bridge as _xb
+
+            _xb._clear_backends()
+        except Exception:
+            pass
+        timeout_s = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "900"))
         for recipe, field in (("stage21", "stage21_frames_per_sec_per_chip"),
                               ("amd", "amd_frames_per_sec_per_chip")):
             extra = _run_recipe_subprocess(recipe, timeout_s)
