@@ -150,8 +150,12 @@ def unflow_loss(pyramid_flows, im1, im2, cfg: UnFlowLossCfg = UnFlowLossCfg()):
         im2_recons = flow_warp(im1_s, flow[..., 2:], pad=cfg.warp_pad)
         if i == 0:
             if cfg.occ_from_back:
-                occu1 = 1.0 - occu_mask_backward(flow[..., 2:], th=0.2)[..., None]
-                occu2 = 1.0 - occu_mask_backward(flow[..., :2], th=0.2)[..., None]
+                # One batched splat for both directions (same cost per
+                # image; halves the fixed per-call work).
+                both = occu_mask_backward(
+                    jnp.concatenate([flow[..., 2:], flow[..., :2]], axis=0),
+                    th=0.2)[..., None]
+                occu1, occu2 = 1.0 - both[: flow.shape[0]], 1.0 - both[flow.shape[0]:]
             else:
                 occu1 = 1.0 - occu_mask_bidirection(flow[..., :2], flow[..., 2:])[..., None]
                 occu2 = 1.0 - occu_mask_bidirection(flow[..., 2:], flow[..., :2])[..., None]

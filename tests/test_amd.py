@@ -151,3 +151,72 @@ def test_freeze_flownet_optimizer_mask():
     updates, _ = tx.update(grads, tx.init(params), params)
     assert float(jnp.abs(updates["flownet"]["w"]).max()) == 0.0
     assert float(jnp.abs(updates["backbone2"]["w"]).max()) > 0.0
+
+
+# ---- MXU (gather-free) samplers: must match the 4-tap gather form ----
+
+
+@pytest.mark.parametrize("pad", ["border", "zeros"])
+def test_bilinear_sample_mxu_matches_gather(pad):
+    from rcf_tpu.ops.warp import bilinear_sample, bilinear_sample_mxu
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 37, 53, 3)).astype(np.float32))
+    # coords spanning in-range and far out-of-range
+    x = jnp.asarray((rng.random((2, 37, 53)) * 73 - 10).astype(np.float32))
+    y = jnp.asarray((rng.random((2, 37, 53)) * 57 - 10).astype(np.float32))
+    a = np.asarray(bilinear_sample(img, x, y, pad=pad))
+    b = np.asarray(bilinear_sample_mxu(img, x, y, pad=pad, chunk=256))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("scale", [6.0, 60.0])  # banded path / dense fallback
+@pytest.mark.parametrize("pad", ["border", "zeros"])
+def test_flow_warp_banded_matches_gather(pad, scale):
+    from rcf_tpu.ops.warp import _flow_warp_banded, bilinear_sample
+
+    rng = np.random.default_rng(1)
+    h, w = 120, 100
+    img = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
+    fl = jnp.asarray((rng.standard_normal((2, h, w, 2)) * scale).astype(np.float32))
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cx, cy = xs[None] + fl[..., 0], ys[None] + fl[..., 1]
+    ref = np.asarray(bilinear_sample(img, cx, cy, pad=pad))
+    got = np.asarray(_flow_warp_banded(img, cx, cy, pad=pad, band=64))
+    np.testing.assert_allclose(ref, got, atol=1e-6)
+
+
+def test_flow_warp_banded_gradient_matches_gather():
+    from rcf_tpu.ops import warp as W
+
+    rng = np.random.default_rng(2)
+    h, w = 120, 100
+    img = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    fl = jnp.asarray((rng.standard_normal((1, h, w, 2)) * 5).astype(np.float32))
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+    def lb(f):
+        return jnp.sum(W._flow_warp_banded(
+            img, xs[None] + f[..., 0], ys[None] + f[..., 1], "border", 64) ** 2)
+
+    def lg(f):
+        return jnp.sum(W.bilinear_sample(
+            img, xs[None] + f[..., 0], ys[None] + f[..., 1]) ** 2)
+
+    gb = np.asarray(jax.grad(lb)(fl))
+    gg = np.asarray(jax.grad(lg)(fl))
+    # identical away from the measure-zero exact-integer-coordinate kinks
+    np.testing.assert_allclose(gb, gg, atol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [7.0, 70.0])
+def test_corresponding_map_banded_matches_dense(scale):
+    from rcf_tpu.ops.warp import _corresponding_map_banded, _corresponding_map_dense
+
+    rng = np.random.default_rng(3)
+    fl = jnp.asarray((rng.standard_normal((2, 120, 110, 2)) * scale).astype(np.float32))
+    a = np.asarray(_corresponding_map_dense(fl))
+    b = np.asarray(_corresponding_map_banded(fl, band=64))
+    np.testing.assert_allclose(a, b, atol=1e-5)
