@@ -90,19 +90,28 @@ def _measure_chain(step_call, state, fence) -> float:
     On the axon relay, block_until_ready acks before remote execution
     completes — a host read of a chain-final value is the only reliable
     fence, so throughput is the marginal time between two chain lengths.
+
+    The evolving state is threaded from chain to chain (never reused
+    across calls): with donated steps the input state's buffers are
+    consumed by each call, so restarting a chain from an already-donated
+    state is what produced the round-1 "donation flakiness" — and
+    donate=False was measured to cost ~115 ms/step of state-copy and
+    allocation churn on the AMD step (tools/attrib_amd_step.py), badly
+    under-reporting the real (donating) train loop.
     """
-    def run_chain(n_steps: int, s) -> float:
+    def run_chain(n_steps: int, s):
         t0 = time.perf_counter()
         out = None
         for k in range(n_steps):
             s, out = step_call(s, k)
         fence(out)
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, s
 
+    holder = state
     for attempt in range(3):
         try:
-            t_short = run_chain(3, state)
-            t_long = run_chain(13, state)
+            t_short, holder = run_chain(3, holder)
+            t_long, _ = run_chain(13, holder)
             return (t_long - t_short) / 10.0
         except Exception as exc:  # transient relay errors: retry
             _log(f"attempt {attempt}: {type(exc).__name__}: {exc}; retrying")
@@ -180,13 +189,16 @@ def bench_rcf(recipe: str) -> dict:
     from rcf_tpu.train.step import make_scanned_train_step, stack_batches
 
     oc_set = recipe == "stage21"  # CRF loss requires an elected channel
+    # Donation matches the production train loop; donate=False forces XLA
+    # to copy the whole state per step (~115 ms on AMD, measured). The
+    # round-1 "donation flakiness" was the old measurement chain reusing
+    # an already-donated state, fixed in _measure_chain.
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
     if scan_k > 1:
-        step = make_scanned_train_step(model, scan_k, donate=False, crf_fn=crf_fn)
+        step = make_scanned_train_step(model, scan_k, donate=donate, crf_fn=crf_fn)
         sharded = stack_batches([batch] * scan_k, mesh)
     else:
-        # donate=False: buffer donation has shown InvalidArgument flakiness
-        # through the axon relay; throughput impact is ~nil at this state size.
-        step = make_train_step(model, donate=False, crf_fn=crf_fn)
+        step = make_train_step(model, donate=donate, crf_fn=crf_fn)
         sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
 
@@ -261,11 +273,24 @@ def bench_amd() -> dict:
         jnp.asarray(batch["imgs"][:2]), train=True,
     )
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=100), mesh)
-    step = make_train_step(model, donate=False)
-    sharded = shard_batch(batch, mesh)
+    # Default scan_k=1 here: unlike the RCF recipes, scanning the AMD step
+    # measured SLOWER than per-step dispatch with donation (456 vs 349
+    # ms/step) — the dispatch tail it amortizes is already ~nil and the
+    # scanned program schedules the Pallas warp kernels worse.
+    scan_k = int(os.environ.get("BENCH_SCAN_K_AMD", "1"))
+    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
+
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    if scan_k > 1:
+        step = make_scanned_train_step(model, scan_k, donate=donate)
+        sharded = stack_batches([batch] * scan_k, mesh)
+    else:
+        step = make_train_step(model, donate=donate)
+        sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
 
-    _log(f"compiling AMD train step on {n_chips} chip(s), batch {b}x2 @ {hw}^2")
+    _log(f"compiling AMD train step on {n_chips} chip(s), batch {b}x2 @ {hw}^2"
+         f" (scan_steps={scan_k})")
     t0 = time.perf_counter()
     state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
     np.asarray(losses["loss"])
@@ -275,11 +300,12 @@ def bench_amd() -> dict:
         s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc)
         return s, losses
 
-    per_step = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"]))
+    per_step = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"])) / scan_k
     return {
         "metric": f"amd_train_throughput_{dtype_name}",
         "value": round(b * 2 / per_step / n_chips, 2),
         "unit": "frames/sec/chip",
+        "scan_steps": scan_k,
     }
 
 

@@ -259,6 +259,56 @@ _WARP_BAND = 96
 _WARP_BANDED_MIN_PIXELS = 200_000
 
 
+def _pallas_spans_fit(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """True when every row's vertical tap span fits the Pallas kernel's
+    BAND window and every TILE-column tile's horizontal span fits XBAND.
+
+    Spans are measured on [-1, dim]-clipped coordinates (out-of-image
+    taps beyond that range carry zero weight), matching the window
+    placement inside `pallas.warp_pallas._windows`; the kernel aligns
+    window starts DOWN to Mosaic's tile grid (8 rows / 128 cols), so the
+    budget reserves that worst-case high-side loss.
+    """
+    from .pallas.warp_pallas import BAND, TILE, XBAND
+
+    b = x.shape[0]
+    ys = jax.lax.stop_gradient(jnp.clip(y, -1.0, float(h)))
+    lo = jnp.floor(jnp.min(ys, axis=2))
+    hi = jnp.floor(jnp.max(ys, axis=2)) + 1.0
+    fits_y = jnp.max(hi - lo) + 1.0 <= float(BAND - 7)
+    xs = jax.lax.stop_gradient(jnp.clip(x, -1.0, float(w))).reshape(b, -1, w // TILE, TILE)
+    xlo = jnp.floor(jnp.min(xs, axis=3)) - 1.0
+    xhi = jnp.floor(jnp.max(xs, axis=3)) + 1.0
+    fits_x = jnp.max(xhi - xlo) + 1.0 <= float(XBAND - 127)
+    return jnp.logical_and(fits_y, fits_x)
+
+
+def _flow_warp_pallas(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      pad: str) -> jnp.ndarray:
+    """VMEM-resident Pallas sampler with a global dense fallback cond.
+
+    The kernel (`ops/pallas/warp_pallas.py`) generates the hat factors
+    on-chip — the XLA banded path's dominant HBM traffic — and windows
+    the source columns as well as rows. Exactness never depends on the
+    window sizes: any span overflow switches the whole call to the dense
+    MXU sampler.
+    """
+    from .pallas.warp_pallas import warp_pallas
+
+    b, h, w, c = img.shape
+    xf = x.reshape(b, h, w).astype(jnp.float32)
+    yf = y.reshape(b, h, w).astype(jnp.float32)
+    if pad == "border":
+        xf = jnp.clip(xf, 0.0, float(w - 1))
+        yf = jnp.clip(yf, 0.0, float(h - 1))
+    fits = _pallas_spans_fit(xf, yf, h, w)
+    return jax.lax.cond(
+        fits,
+        lambda _: warp_pallas(img, xf, yf),
+        lambda _: bilinear_sample_mxu(img, xf, yf, pad=pad).reshape(b, h, w, c),
+        None)
+
+
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.ndarray:
     """Backward-warp x [B, H, W, C] by flow [B, H, W, 2] (u=x, v=y).
 
@@ -282,6 +332,10 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.nda
     c = x.shape[-1]
     if h * w < _MXU_SAMPLE_MIN_PIXELS or c > 8 or not _mxu_backend():
         return bilinear_sample(x, cx, cy, pad=pad)
+    from .pallas.warp_pallas import shapes_supported
+
+    if h * w >= _WARP_BANDED_MIN_PIXELS and shapes_supported(h, w):
+        return _flow_warp_pallas(x, cx, cy, pad=pad)
     if h * w >= _WARP_BANDED_MIN_PIXELS and h > _WARP_BAND:
         return _flow_warp_banded(x, cx, cy, pad=pad, band=_WARP_BAND)
     return bilinear_sample_mxu(x, cx, cy, pad=pad)
@@ -348,8 +402,23 @@ def corresponding_map(flow: jnp.ndarray) -> jnp.ndarray:
     bound on TPU (round-1 AMD step was 881 ms, scatter-bound).
     """
     b, h, w, _ = flow.shape
-    if _mxu_backend() and h * w >= _WARP_BANDED_MIN_PIXELS and h > _WARP_BAND:
-        return _corresponding_map_banded(flow, _WARP_BAND)
+    if _mxu_backend() and h * w >= _WARP_BANDED_MIN_PIXELS:
+        from .pallas.warp_pallas import shapes_supported, splat_pallas
+
+        if shapes_supported(h, w):
+            ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32), indexing="ij")
+            fl = jax.lax.stop_gradient(flow.astype(jnp.float32))
+            tx = xs[None] + fl[..., 0]
+            ty = ys[None] + fl[..., 1]
+            fits = _pallas_spans_fit(tx, ty, h, w)
+            return jax.lax.cond(
+                fits,
+                lambda _: splat_pallas(tx, ty, h, w),
+                lambda _: _corresponding_map_dense(flow).astype(jnp.float32),
+                None).astype(flow.dtype)
+        if h > _WARP_BAND:
+            return _corresponding_map_banded(flow, _WARP_BAND)
     return _corresponding_map_dense(flow).astype(flow.dtype)
 
 

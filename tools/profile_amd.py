@@ -127,6 +127,32 @@ def main():
                                     for g in jax.tree_util.tree_leaves(_grad(p, x))))
     _log(f"full fwd+bwd: {timeit(grad, variables['params'], imgs)*1000:.1f} ms")
 
+    # --- the real train step (grad + Adam + state threading), timed on an
+    # evolving state chain exactly like bench.py ---
+    from rcf_tpu.config import Config
+    from rcf_tpu.train import create_train_state, make_train_step
+
+    tcfg = Config({"optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-6,
+                   "epochs": 8, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
+                   "model_kwargs": {}})
+    state = create_train_state(tcfg, model, variables, steps_per_epoch=100)
+    step = make_train_step(model, donate=False)
+    oc = jnp.zeros((), jnp.int32)
+
+    batch = {"imgs": imgs}
+
+    def chain(n, s):
+        t0 = time.perf_counter()
+        for k in range(n):
+            s, losses = step(s, batch, jax.random.PRNGKey(100 + k), oc)
+        np.asarray(losses["loss"])
+        return time.perf_counter() - t0
+
+    s, losses = step(state, batch, jax.random.PRNGKey(0), oc)
+    np.asarray(losses["loss"])
+    t3, t13 = chain(3, state), chain(13, state)
+    _log(f"train step (marginal chain): {(t13 - t3) / 10 * 1000:.1f} ms")
+
 
 if __name__ == "__main__":
     main()
