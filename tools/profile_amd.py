@@ -92,14 +92,20 @@ def main():
     masks = jax.nn.softmax(jnp.asarray(
         rng.standard_normal((b, 96, 96, 5)).astype(np.float32)), -1).astype(dtype)
     fvars = fnet.init(jax.random.PRNGKey(0), im1, im2, masks, masks)
-    fnet_fwd = jax.jit(lambda v, a, c, m: jnp.sum(
-        fnet.apply(v, a, c, m, m)["flows_fw"][0].astype(jnp.float32)))
-    _log(f"flownet fwd: {timeit(fnet_fwd, fvars, im1, im2, masks)*1000:.1f} ms")
-    _fnet_g = jax.grad(lambda p, a, c, m: jnp.sum(
-        fnet.apply({"params": p}, a, c, m, m)["flows_fw"][0].astype(jnp.float32)))
+
+    def _both(res):
+        # Consume BOTH directions' full pyramids like the loss does —
+        # summing only flows_fw[0] lets XLA DCE most of the network.
+        return sum(jnp.sum(f.astype(jnp.float32))
+                   for k in ("flows_fw", "flows_bw") for f in res[k])
+
+    fnet_fwd = jax.jit(lambda v, a, c, m: _both(fnet.apply(v, a, c, m, m, with_bk=True)))
+    _log(f"flownet fwd (both dirs): {timeit(fnet_fwd, fvars, im1, im2, masks)*1000:.1f} ms")
+    _fnet_g = jax.grad(lambda p, a, c, m: _both(
+        fnet.apply({"params": p}, a, c, m, m, with_bk=True)))
     fnet_g = jax.jit(lambda p, a, c, m: sum(jnp.sum(g.astype(jnp.float32))
                                             for g in jax.tree_util.tree_leaves(_fnet_g(p, a, c, m))))
-    _log(f"flownet fwd+bwd: {timeit(fnet_g, fvars['params'], im1, im2, masks)*1000:.1f} ms")
+    _log(f"flownet fwd+bwd (both dirs): {timeit(fnet_g, fvars['params'], im1, im2, masks)*1000:.1f} ms")
 
     # --- backbone+mask head alone ---
     bb = jax.jit(lambda v, x: jnp.sum(model.apply(
