@@ -146,8 +146,13 @@ def unflow_loss(pyramid_flows, im1, im2, cfg: UnFlowLossCfg = UnFlowLossCfg()):
         h, w = flow.shape[1:3]
         im1_s = area_resize(im1, (h, w))
         im2_s = area_resize(im2, (h, w))
-        im1_recons = flow_warp(im2_s, flow[..., :2], pad=cfg.warp_pad)
-        im2_recons = flow_warp(im1_s, flow[..., 2:], pad=cfg.warp_pad)
+        # grad_img=False: the warped operands are input FRAMES (pure
+        # data — requires_grad=False in the reference too); gradients
+        # flow through the sampling coordinates only.
+        im1_recons = flow_warp(im2_s, flow[..., :2], pad=cfg.warp_pad,
+                               grad_img=False)
+        im2_recons = flow_warp(im1_s, flow[..., 2:], pad=cfg.warp_pad,
+                               grad_img=False)
         if i == 0:
             if cfg.occ_from_back:
                 # One batched splat for both directions (same cost per

@@ -60,6 +60,11 @@ class AMDModel(nn.Module):
     ema_m: float = 0.999
     align_corners: bool = False
     mask_size: tuple[int, int] = (96, 96)
+    # The reference computes the unconstrained ("whole") photometric loss
+    # every step purely for logging — it never enters the trained loss
+    # (`amd_model.py:222,266`). Its forward is ~17% of the AMD step; set
+    # False to skip it (training dynamics are bit-identical either way).
+    log_whole_flow_loss: bool = True
 
     def setup(self):
         self.backbone2 = ResNet(**self.backbone_cfg, dtype=self.dtype)
@@ -108,11 +113,12 @@ class AMDModel(nn.Module):
 
         loss_seg, *_ = unflow_loss(stacked(res["flows_fw"], res["flows_bw"]),
                                    im1, im2, _FLOW_CFG)
-        loss_all, *_ = unflow_loss(stacked(res["flows_fw_all"], res["flows_bw_all"]),
-                                   im1, im2, _FLOW_CFG)
         losses = {
             "loss_warp_seg": loss_seg,
-            "loss_warp_whole": loss_all,
             "loss": loss_seg * self.w_seg,
         }
+        if self.log_whole_flow_loss:
+            loss_all, *_ = unflow_loss(stacked(res["flows_fw_all"], res["flows_bw_all"]),
+                                       im1, im2, _FLOW_CFG)
+            losses["loss_warp_whole"] = loss_all
         return losses, probs

@@ -192,6 +192,53 @@ def _warp_bwd_kernel(img_ref, cx_ref, cy_ref, g_ref, dimg_ref, dcx_ref, dcy_ref)
     jax.lax.fori_loop(0, ROWS, row, 0)
 
 
+def _warp_bwd_kernel_nodimg(img_ref, cx_ref, cy_ref, g_ref, dcx_ref, dcy_ref):
+    """Backward pass emitting only dcx / dcy (no image cotangent).
+
+    For warps of pure DATA (the unflow photometric loss warps input
+    images, which carry no gradient in the reference either —
+    `utils/warp_utils.py:84-94` is applied to requires_grad=False
+    frames), the dimg third of the backward matmuls and its VMEM
+    overlap-add are dead work the opaque kernel boundary would otherwise
+    prevent XLA from pruning.
+    """
+    h, w = img_ref.shape[2], img_ref.shape[3]
+    c = img_ref.shape[1]
+
+    def row(r, _):
+        rw = pl.multiple_of(r * w, 128)
+        cy_r = cy_ref[0, 0, pl.ds(rw, w)]
+        for t in range(w // TILE):
+            sl = slice(t * TILE, (t + 1) * TILE)
+            cx_t = cx_ref[0, 0, pl.ds(rw + t * TILE, TILE)]
+            cy_t = cy_r[sl]
+            ystart, xstart = _windows(cx_t, cy_r, h, w)
+            ya, xa = _abs_taps(ystart, xstart)
+            tri_x = _hat(cx_t, xa)                         # [T, XBAND] f32
+            tri_y = _hat(cy_t, ya)                         # [T, BAND]  f32
+            gz = jnp.zeros((TILE, BAND), jnp.float32)
+            dtri_x = jnp.zeros((TILE, XBAND), jnp.float32)
+            for ci in range(c):
+                win = img_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
+                g_c = g_ref[0, ci, pl.ds(rw + t * TILE, TILE)].astype(
+                    jnp.float32)                           # [T]
+                z = jax.lax.dot_general(
+                    tri_x.astype(img_ref.dtype), win, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [T, BAND]
+                gz = gz + z * g_c[:, None]
+                wy = g_c[:, None] * tri_y                  # [T, BAND]
+                dtri_x = dtri_x + jax.lax.dot_general(
+                    wy, win.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [T, XBAND]
+            dcy_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
+                gz * _dhat(cy_t, ya), axis=1)
+            dcx_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
+                dtri_x * _dhat(cx_t, xa), axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, row, 0)
+
+
 def _splat_kernel(tx_ref, ty_ref, out_ref):
     """Forward bilinear splat of ones: out[y,x] = sum_p hat_y * hat_x.
 
@@ -246,9 +293,9 @@ def shapes_supported(h: int, w: int) -> bool:
     return h % ROWS == 0 and w % TILE == 0 and h >= BAND and w >= XBAND
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def warp_pallas(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, need_dimg: bool = True) -> jnp.ndarray:
     """Sample img [B,H,W,C] at absolute coords cx/cy [B,H,W] f32.
 
     Caller contract (enforced by `ops/warp.py::flow_warp`):
@@ -258,6 +305,12 @@ def warp_pallas(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
       caller's `fits` cond must take the dense path);
     * 'border' padding == caller pre-clamps coords; out-of-window taps
       contribute zero weight, which is 'zeros' padding for free.
+
+    ``need_dimg=False`` declares that the IMAGE cotangent is dead (the
+    image is pure data, as in every photometric-loss warp): the backward
+    kernel then skips the dimg matmul + VMEM overlap-add (a third of its
+    MXU work) and returns a symbolic zero. Setting it False for an image
+    that DOES need gradients silently zeroes them — callers own this.
     """
     return _warp_fwd_impl(img, cx, cy, interpret)
 
@@ -276,13 +329,28 @@ def _warp_fwd_impl(img, cx, cy, interpret):
     return jnp.moveaxis(out.reshape(b, c, h, w), 1, 3)
 
 
-def _warp_fwd_rule(img, cx, cy, interpret):
+def _warp_fwd_rule(img, cx, cy, interpret, need_dimg):
     return _warp_fwd_impl(img, cx, cy, interpret), (img, cx, cy)
 
 
-def _warp_bwd_rule(interpret, res, g):
+def _warp_bwd_rule(interpret, need_dimg, res, g):
     img, cx, cy = res
     b, h, w, c = img.shape
+    if not need_dimg:
+        dcx, dcy = pl.pallas_call(
+            _warp_bwd_kernel_nodimg,
+            grid=(b, h // ROWS),
+            in_specs=[_img_spec(c, h, w), _row_spec(w), _row_spec(w),
+                      _rows_chan_spec(c, w)],
+            out_specs=[_row_spec(w), _row_spec(w)],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 1, h * w), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1, h * w), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.moveaxis(img, 3, 1), cx.reshape(b, 1, h * w),
+          cy.reshape(b, 1, h * w), jnp.moveaxis(g, 3, 1).reshape(b, c, h * w))
+        return (jnp.zeros_like(img), dcx.reshape(b, h, w), dcy.reshape(b, h, w))
     dimg, dcx, dcy = pl.pallas_call(
         _warp_bwd_kernel,
         grid=(b, h // ROWS),

@@ -284,7 +284,7 @@ def _pallas_spans_fit(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int) -> jnp.nda
 
 
 def _flow_warp_pallas(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                      pad: str) -> jnp.ndarray:
+                      pad: str, grad_img: bool = True) -> jnp.ndarray:
     """VMEM-resident Pallas sampler with a global dense fallback cond.
 
     The kernel (`ops/pallas/warp_pallas.py`) generates the hat factors
@@ -304,12 +304,13 @@ def _flow_warp_pallas(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     fits = _pallas_spans_fit(xf, yf, h, w)
     return jax.lax.cond(
         fits,
-        lambda _: warp_pallas(img, xf, yf),
+        lambda _: warp_pallas(img, xf, yf, False, grad_img),
         lambda _: bilinear_sample_mxu(img, xf, yf, pad=pad).reshape(b, h, w, c),
         None)
 
 
-def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.ndarray:
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border",
+              grad_img: bool = True) -> jnp.ndarray:
     """Backward-warp x [B, H, W, C] by flow [B, H, W, 2] (u=x, v=y).
 
     Dispatches on size: large images use the gather-free MXU hat-matmul
@@ -334,8 +335,11 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, pad: str = "border") -> jnp.nda
         return bilinear_sample(x, cx, cy, pad=pad)
     from .pallas.warp_pallas import shapes_supported
 
+    # grad_img=False (image is pure data, e.g. photometric-loss warps)
+    # lets the Pallas backward skip its dimg third; the XLA paths below
+    # are transparent and autodiff prunes the dead cotangent by itself.
     if h * w >= _WARP_BANDED_MIN_PIXELS and shapes_supported(h, w):
-        return _flow_warp_pallas(x, cx, cy, pad=pad)
+        return _flow_warp_pallas(x, cx, cy, pad=pad, grad_img=grad_img)
     if h * w >= _WARP_BANDED_MIN_PIXELS and h > _WARP_BAND:
         return _flow_warp_banded(x, cx, cy, pad=pad, band=_WARP_BAND)
     return bilinear_sample_mxu(x, cx, cy, pad=pad)

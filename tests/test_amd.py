@@ -133,6 +133,38 @@ def test_amd_model_forward_and_grads():
     assert g_flow > 0 and g_back > 0
 
 
+def test_amd_whole_flow_loss_knob():
+    """log_whole_flow_loss=False drops only the logging-only key: the
+    trained loss is bit-identical (the whole-flow loss never enters it,
+    reference amd_model.py:222,266)."""
+    from rcf_tpu.models.amd import build_amd_model
+
+    mk = {
+        "w_seg": 1.0,
+        "mask_layer": 5,
+        "backbone2": {"depth": 18, "num_stages": 4, "out_indices": [0, 1, 2, 3],
+                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
+                      "contract_dilation": True},
+        "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
+                         "channels": 16, "num_convs": 2, "dilation": 6,
+                         "dropout_ratio": 0.0, "num_classes": 5, "concat_input": False},
+        "flow_size": (64, 64),
+    }
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 3)).astype(np.float32))
+    init_rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    outs = {}
+    for knob in (True, False):
+        model = build_amd_model({**mk, "log_whole_flow_loss": knob})
+        variables = model.init(init_rngs, imgs, train=True)
+        (losses, _), _ = model.apply(variables, imgs, train=True, mutable=["batch_stats"])
+        outs[knob] = losses
+    assert "loss_warp_whole" in outs[True] and "loss_warp_whole" not in outs[False]
+    np.testing.assert_array_equal(np.asarray(outs[True]["loss"]),
+                                  np.asarray(outs[False]["loss"]))
+
+
 def test_freeze_flownet_optimizer_mask():
     """freeze_flownet (models/fcn_head.py:94-97) = optimizer update mask."""
     import jax.numpy as jnp

@@ -93,6 +93,27 @@ def test_warp_gradients_match_gather():
     assert (d > 1e-3).sum() <= 4
 
 
+def test_warp_nodimg_backward_matches_full():
+    """need_dimg=False: dcx/dcy identical to the full backward kernel,
+    dimg returned as exact zeros."""
+    img = _img()
+    _, cx, cy = _coords()
+    cxb, cyb = jnp.clip(cx, 0, W - 1), jnp.clip(cy, 0, H - 1)
+
+    def loss(need_dimg):
+        return lambda im, x, y: jnp.sum(
+            jnp.sin(warp_pallas(im, x, y, True, need_dimg)))
+
+    gi_full, gx_full, gy_full = jax.grad(loss(True), argnums=(0, 1, 2))(
+        img, cxb, cyb)
+    gi_nd, gx_nd, gy_nd = jax.grad(loss(False), argnums=(0, 1, 2))(
+        img, cxb, cyb)
+    np.testing.assert_allclose(np.asarray(gx_nd), np.asarray(gx_full), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy_nd), np.asarray(gy_full), atol=1e-6)
+    assert float(jnp.max(jnp.abs(gi_nd))) == 0.0
+    assert float(jnp.max(jnp.abs(gi_full))) > 0.0
+
+
 def test_splat_matches_dense():
     fl, tx, ty = _coords(scale=7.0, seed=5)
     out = splat_pallas(tx, ty, H, W, True)
@@ -109,6 +130,56 @@ def test_splat_large_flow_still_exact_when_spans_fit():
     out = splat_pallas(xs[None] + fl[..., 0], ys[None] + fl[..., 1], H, W, True)
     ref = _corresponding_map_dense(fl)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _force_pallas_dispatch(monkeypatch):
+    """Route the warp.py dispatchers onto the interpret-mode kernels so the
+    exact TPU program runs under the CPU test backend."""
+    import rcf_tpu.ops.pallas.warp_pallas as wp
+    import rcf_tpu.ops.warp as warp_mod
+
+    monkeypatch.setattr(warp_mod, "_mxu_backend", lambda: True)
+    monkeypatch.setattr(warp_mod, "_WARP_BANDED_MIN_PIXELS", 0)
+    orig_warp, orig_splat = wp.warp_pallas, wp.splat_pallas
+    monkeypatch.setattr(
+        wp, "warp_pallas",
+        lambda img, cx, cy, interpret=False, need_dimg=True: orig_warp(
+            img, cx, cy, True, need_dimg))
+    monkeypatch.setattr(
+        wp, "splat_pallas", lambda tx, ty, h, w: orig_splat(tx, ty, h, w, True))
+
+
+def test_flow_warp_grad_img_false_dispatch(monkeypatch):
+    """flow_warp(grad_img=False) through the Pallas dispatcher: flow
+    gradients equal the gather VJP's (continuous draws avoid the
+    measure-zero integer-coordinate kinks); the image cotangent is
+    declared dead and comes back exactly zero."""
+    import rcf_tpu.ops.warp as warp_mod
+
+    rng = np.random.default_rng(17)
+    im = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+    fl = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 5).astype(np.float32))
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def ref_loss(f, a):
+        r = warp_mod.bilinear_sample(
+            a, jnp.clip(xs[None] + f[..., 0], 0, W - 1),
+            jnp.clip(ys[None] + f[..., 1], 0, H - 1), pad="border")
+        return jnp.sum(jnp.sin(r))
+
+    gr = jax.grad(ref_loss, argnums=(0, 1))(fl, im)
+
+    _force_pallas_dispatch(monkeypatch)
+
+    def loss(f, a):
+        return jnp.sum(jnp.sin(warp_mod.flow_warp(a, f, grad_img=False)))
+
+    gf = jax.grad(loss, argnums=(0, 1))(fl, im)
+    assert float(jnp.max(jnp.abs(gf[1]))) == 0.0
+    assert float(jnp.max(jnp.abs(gr[1]))) > 0.0
+    d = np.abs(np.asarray(gf[0]) - np.asarray(gr[0]))
+    assert (d > 1e-3).sum() <= 4
 
 
 def test_dispatch_guard_spans():
