@@ -47,9 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 # Output-column tile (MXU lane width) and source-column window per tile.
 TILE = 128
 XBAND = 384
-# Source-row window per output-row group (matches ops/warp.py::_WARP_BAND
-# so the caller's span guard can be shared).
-BAND = 96
+# Source-row window per output-row group for the WARP kernels. 128 (one
+# MXU tile) so the C source windows can be stacked into one [C*BAND,
+# XBAND] operand and every per-channel lane-segment slice of the stacked
+# product is 128-aligned. The MXU pads N to 128-tiles either way, so a
+# 128 band costs the same matmul cycles as the 96 the XLA banded path
+# uses (`ops/warp.py::_WARP_BAND`) while tripling the matmul width.
+BAND = 128
+# Source-row window for the (channel-less) splat kernel, where the band
+# IS the matmul's M dimension and 96 keeps the contribution smaller.
+SPLAT_BAND = 96
 # Output rows per grid step (amortizes per-step block DMA overhead).
 ROWS = 8
 
@@ -65,8 +72,8 @@ def _dhat(c, centers):
     return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
 
 
-def _windows(cx_t, cy_r, h, w):
-    """(ystart, xstart) of the [BAND, XBAND] source window for one tile.
+def _windows(cx_t, cy_r, h, w, band=BAND):
+    """(ystart, xstart) of the [band, XBAND] source window for one tile.
 
     Starts are data-dependent scalars (fine: dynamic_slice with static
     sizes); weights use ABSOLUTE tap positions so window placement never
@@ -77,7 +84,7 @@ def _windows(cx_t, cy_r, h, w):
     """
     ystart = jnp.clip(
         jnp.floor(jnp.min(jnp.clip(cy_r, -1.0, float(h)))).astype(jnp.int32),
-        0, h - BAND)
+        0, h - band)
     xstart = jnp.clip(
         jnp.floor(jnp.min(jnp.clip(cx_t, -1.0, float(w)))).astype(jnp.int32) - 1,
         0, w - XBAND)
@@ -89,13 +96,29 @@ def _windows(cx_t, cy_r, h, w):
     return ystart, xstart
 
 
-def _abs_taps(ystart, xstart):
+def _abs_taps(ystart, xstart, band=BAND):
     # Mosaic iota is integer-only; cast after the add.
     xa = (xstart + jax.lax.broadcasted_iota(
         jnp.int32, (TILE, XBAND), 1)).astype(jnp.float32)
     ya = (ystart + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE, BAND), 1)).astype(jnp.float32)
+        jnp.int32, (TILE, band), 1)).astype(jnp.float32)
     return ya, xa
+
+
+def _stack_windows(img_ref, c, ystart, xstart):
+    """[C*BAND, XBAND] sublane-stack of the per-channel source windows.
+
+    The channel segments sit in the (un-contracted) N dimension of the
+    tile matmul, so stacking changes no summation order — z_all's lane
+    segment ci IS the per-channel z, bit-for-bit."""
+    return jnp.concatenate(
+        [img_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
+         for ci in range(c)], axis=0)
+
+
+def _rep(v, c):
+    """Tile a [T, BAND] factor across the C lane segments: [T, C*BAND]."""
+    return jnp.concatenate([v] * c, axis=1)
 
 
 def _warp_fwd_kernel(img_ref, cx_ref, cy_ref, out_ref):
@@ -118,14 +141,15 @@ def _warp_fwd_kernel(img_ref, cx_ref, cy_ref, out_ref):
             ya, xa = _abs_taps(ystart, xstart)
             tri_x = _hat(cx_t, xa).astype(img_ref.dtype)
             tri_y = _hat(cy_r[sl], ya)                     # [T, BAND] f32
-            # Channel loop keeps every op 2D (Mosaic-friendly); C <= 8.
+            win_all = _stack_windows(img_ref, c, ystart, xstart)
+            # z_all[p, ci*BAND+y] = sum_x tri_x[p, x] win_ci[y, x]  (one
+            # MXU matmul for all channels; N segments are independent).
+            z_all = jax.lax.dot_general(
+                tri_x, win_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [T, C*BAND]
+            zt = z_all * _rep(tri_y, c)
             for ci in range(c):
-                win = img_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
-                # z[p, y] = sum_x tri_x[p, x] win[y, x]   (MXU)
-                z = jax.lax.dot_general(
-                    tri_x, win, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [T, BAND]
-                out = jnp.sum(z * tri_y, axis=1)           # [T]
+                out = jnp.sum(zt[:, ci * BAND:(ci + 1) * BAND], axis=1)
                 out_ref[0, ci, pl.ds(rw + t * TILE, TILE)] = (
                     out.astype(out_ref.dtype))
         return 0
@@ -159,34 +183,35 @@ def _warp_bwd_kernel(img_ref, cx_ref, cy_ref, g_ref, dimg_ref, dcx_ref, dcy_ref)
             ya, xa = _abs_taps(ystart, xstart)
             tri_x = _hat(cx_t, xa)                         # [T, XBAND] f32
             tri_y = _hat(cy_t, ya)                         # [T, BAND]  f32
-            gz = jnp.zeros((TILE, BAND), jnp.float32)
-            dtri_x = jnp.zeros((TILE, XBAND), jnp.float32)
-            for ci in range(c):
-                win = img_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
-                g_c = g_ref[0, ci, pl.ds(rw + t * TILE, TILE)].astype(
-                    jnp.float32)                           # [T]
-                z = jax.lax.dot_general(
-                    tri_x.astype(img_ref.dtype), win, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [T, BAND]
-                # dcy: d out[p] / d tri_y[p,y] = z[p,y]
-                gz = gz + z * g_c[:, None]
-                # Shared cotangent factor w[p,y] = g[p] * tri_y[p,y].
-                wy = g_c[:, None] * tri_y                  # [T, BAND]
-                # dtri_x[p,x] += sum_y w[p,y] win[y,x]
-                dtri_x = dtri_x + jax.lax.dot_general(
-                    wy, win.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [T, XBAND]
-                # dimg[y,x] += sum_p w[p,y] tri_x[p,x]
-                contrib = jax.lax.dot_general(
-                    wy, tri_x, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [BAND, XBAND]
-                cur = dimg_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
-                dimg_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)] = (
-                    cur + contrib)
+            win_all = _stack_windows(img_ref, c, ystart, xstart)
+            g_rep = jnp.concatenate(
+                [jnp.broadcast_to(
+                    g_ref[0, ci, pl.ds(rw + t * TILE, TILE)].astype(
+                        jnp.float32)[:, None], (TILE, BAND))
+                 for ci in range(c)], axis=1)              # [T, C*BAND]
+            z_all = jax.lax.dot_general(
+                tri_x.astype(img_ref.dtype), win_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [T, C*BAND]
+            # dcy: d out[p] / d tri_y[p,y] = z[p,y], summed over channels.
             dcy_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
-                gz * _dhat(cy_t, ya), axis=1)
+                z_all * g_rep * _rep(_dhat(cy_t, ya), c), axis=1)
+            # Shared cotangent factor w[p, ci*BAND+y] = g_ci[p] tri_y[p,y].
+            wy_all = g_rep * _rep(tri_y, c)                # [T, C*BAND]
+            # dtri_x[p,x] = sum_{ci,y} w[p,ci,y] win_ci[y,x]: contraction
+            # over the stacked axis covers the channel sum in one matmul.
+            dtri_x = jax.lax.dot_general(
+                wy_all, win_all.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [T, XBAND]
             dcx_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
                 dtri_x * _dhat(cx_t, xa), axis=1)
+            # dimg_ci[y,x] += sum_p w[p,ci,y] tri_x[p,x]
+            contrib_all = jax.lax.dot_general(
+                wy_all, tri_x, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [C*BAND, XBAND]
+            for ci in range(c):
+                cur = dimg_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
+                dimg_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)] = (
+                    cur + contrib_all[ci * BAND:(ci + 1) * BAND, :])
         return 0
 
     jax.lax.fori_loop(0, ROWS, row, 0)
@@ -216,22 +241,21 @@ def _warp_bwd_kernel_nodimg(img_ref, cx_ref, cy_ref, g_ref, dcx_ref, dcy_ref):
             ya, xa = _abs_taps(ystart, xstart)
             tri_x = _hat(cx_t, xa)                         # [T, XBAND] f32
             tri_y = _hat(cy_t, ya)                         # [T, BAND]  f32
-            gz = jnp.zeros((TILE, BAND), jnp.float32)
-            dtri_x = jnp.zeros((TILE, XBAND), jnp.float32)
-            for ci in range(c):
-                win = img_ref[0, ci, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
-                g_c = g_ref[0, ci, pl.ds(rw + t * TILE, TILE)].astype(
-                    jnp.float32)                           # [T]
-                z = jax.lax.dot_general(
-                    tri_x.astype(img_ref.dtype), win, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [T, BAND]
-                gz = gz + z * g_c[:, None]
-                wy = g_c[:, None] * tri_y                  # [T, BAND]
-                dtri_x = dtri_x + jax.lax.dot_general(
-                    wy, win.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [T, XBAND]
+            win_all = _stack_windows(img_ref, c, ystart, xstart)
+            g_rep = jnp.concatenate(
+                [jnp.broadcast_to(
+                    g_ref[0, ci, pl.ds(rw + t * TILE, TILE)].astype(
+                        jnp.float32)[:, None], (TILE, BAND))
+                 for ci in range(c)], axis=1)              # [T, C*BAND]
+            z_all = jax.lax.dot_general(
+                tri_x.astype(img_ref.dtype), win_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [T, C*BAND]
             dcy_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
-                gz * _dhat(cy_t, ya), axis=1)
+                z_all * g_rep * _rep(_dhat(cy_t, ya), c), axis=1)
+            wy_all = g_rep * _rep(tri_y, c)                # [T, C*BAND]
+            dtri_x = jax.lax.dot_general(
+                wy_all, win_all.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [T, XBAND]
             dcx_ref[0, 0, pl.ds(rw + t * TILE, TILE)] = jnp.sum(
                 dtri_x * _dhat(cx_t, xa), axis=1)
         return 0
@@ -257,15 +281,16 @@ def _splat_kernel(tx_ref, ty_ref, out_ref):
         for t in range(w // TILE):
             sl = slice(t * TILE, (t + 1) * TILE)
             tx_t = tx_ref[0, 0, pl.ds(rw + t * TILE, TILE)]
-            ystart, xstart = _windows(tx_t, ty_r, h, w)
-            ya, xa = _abs_taps(ystart, xstart)
+            ystart, xstart = _windows(tx_t, ty_r, h, w, band=SPLAT_BAND)
+            ya, xa = _abs_taps(ystart, xstart, band=SPLAT_BAND)
             tri_x = _hat(tx_t, xa)
             tri_y = _hat(ty_r[sl], ya)
             contrib = jax.lax.dot_general(
                 tri_y, tri_x, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [BAND, XBAND]
-            cur = out_ref[0, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)]
-            out_ref[0, pl.ds(ystart, BAND), pl.ds(xstart, XBAND)] = cur + contrib
+                preferred_element_type=jnp.float32)    # [SPLAT_BAND, XBAND]
+            cur = out_ref[0, pl.ds(ystart, SPLAT_BAND), pl.ds(xstart, XBAND)]
+            out_ref[0, pl.ds(ystart, SPLAT_BAND), pl.ds(xstart, XBAND)] = (
+                cur + contrib)
         return 0
 
     jax.lax.fori_loop(0, ROWS, row, 0)
@@ -289,8 +314,8 @@ def _rows_chan_spec(c, w):
                         memory_space=pltpu.VMEM)
 
 
-def shapes_supported(h: int, w: int) -> bool:
-    return h % ROWS == 0 and w % TILE == 0 and h >= BAND and w >= XBAND
+def shapes_supported(h: int, w: int, band: int = BAND) -> bool:
+    return h % ROWS == 0 and w % TILE == 0 and h >= band and w >= XBAND
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

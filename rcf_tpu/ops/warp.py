@@ -259,9 +259,10 @@ _WARP_BAND = 96
 _WARP_BANDED_MIN_PIXELS = 200_000
 
 
-def _pallas_spans_fit(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def _pallas_spans_fit(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int,
+                      band: int | None = None) -> jnp.ndarray:
     """True when every row's vertical tap span fits the Pallas kernel's
-    BAND window and every TILE-column tile's horizontal span fits XBAND.
+    band window and every TILE-column tile's horizontal span fits XBAND.
 
     Spans are measured on [-1, dim]-clipped coordinates (out-of-image
     taps beyond that range carry zero weight), matching the window
@@ -271,11 +272,13 @@ def _pallas_spans_fit(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int) -> jnp.nda
     """
     from .pallas.warp_pallas import BAND, TILE, XBAND
 
+    if band is None:
+        band = BAND
     b = x.shape[0]
     ys = jax.lax.stop_gradient(jnp.clip(y, -1.0, float(h)))
     lo = jnp.floor(jnp.min(ys, axis=2))
     hi = jnp.floor(jnp.max(ys, axis=2)) + 1.0
-    fits_y = jnp.max(hi - lo) + 1.0 <= float(BAND - 7)
+    fits_y = jnp.max(hi - lo) + 1.0 <= float(band - 7)
     xs = jax.lax.stop_gradient(jnp.clip(x, -1.0, float(w))).reshape(b, -1, w // TILE, TILE)
     xlo = jnp.floor(jnp.min(xs, axis=3)) - 1.0
     xhi = jnp.floor(jnp.max(xs, axis=3)) + 1.0
@@ -407,15 +410,16 @@ def corresponding_map(flow: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w, _ = flow.shape
     if _mxu_backend() and h * w >= _WARP_BANDED_MIN_PIXELS:
-        from .pallas.warp_pallas import shapes_supported, splat_pallas
+        from .pallas.warp_pallas import (SPLAT_BAND, shapes_supported,
+                                         splat_pallas)
 
-        if shapes_supported(h, w):
+        if shapes_supported(h, w, band=SPLAT_BAND):
             ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                                   jnp.arange(w, dtype=jnp.float32), indexing="ij")
             fl = jax.lax.stop_gradient(flow.astype(jnp.float32))
             tx = xs[None] + fl[..., 0]
             ty = ys[None] + fl[..., 1]
-            fits = _pallas_spans_fit(tx, ty, h, w)
+            fits = _pallas_spans_fit(tx, ty, h, w, band=SPLAT_BAND)
             return jax.lax.cond(
                 fits,
                 lambda _: splat_pallas(tx, ty, h, w),

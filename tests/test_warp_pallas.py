@@ -23,7 +23,7 @@ from rcf_tpu.ops.warp import _corresponding_map_dense, bilinear_sample
 from rcf_tpu.ops.pallas.warp_pallas import (
     BAND, XBAND, shapes_supported, splat_pallas, warp_pallas)
 
-B, H, W, C = 2, 96, 384, 3
+B, H, W, C = 2, 128, 384, 3
 
 
 def _coords(scale=5.0, seed=2):
