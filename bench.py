@@ -253,6 +253,10 @@ def bench_amd() -> dict:
     b, hw = 8 * n_chips, 384
     mk = {
         "w_seg": 1.0, "mask_layer": 5,
+        # A/B knob for the reference's dead whole-flow loss. Default ON:
+        # measured FASTER with it (334 vs 401 ms/step — XLA overlaps its
+        # forward with the seg backward; see models/amd/amd_model.py).
+        "log_whole_flow_loss": os.environ.get("BENCH_AMD_WHOLE", "1") == "1",
         "backbone2": {"depth": 50, "num_stages": 4, "out_indices": [0, 1, 2, 3],
                       "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
                       "contract_dilation": True},

@@ -61,9 +61,15 @@ class AMDModel(nn.Module):
     align_corners: bool = False
     mask_size: tuple[int, int] = (96, 96)
     # The reference computes the unconstrained ("whole") photometric loss
-    # every step purely for logging — it never enters the trained loss
-    # (`amd_model.py:222,266`). Its forward is ~17% of the AMD step; set
-    # False to skip it (training dynamics are bit-identical either way).
+    # every step but never observes the value: `fcn_head.py:185` accumulates
+    # `flow_loss['whole']`, `amd_model.py:222,266` then uses only `['seg']`
+    # and returns that scalar — the whole-loss never reaches the training
+    # loss, a log, or a visualization (only the whole flow FIELD is
+    # visualized). It is dead compute in the reference, yet dropping it
+    # measured SLOWER on TPU: 334 ms/step with it vs 401 ms/step without
+    # (same-day A/B, bench.py BENCH_AMD_WHOLE) — with it present XLA
+    # overlaps its forward with the seg loss's backward; without it the
+    # schedule serializes. Default True (faster AND reference-shaped).
     log_whole_flow_loss: bool = True
 
     def setup(self):
