@@ -257,12 +257,15 @@ def bench_amd() -> dict:
         # measured FASTER with it (334 vs 401 ms/step — XLA overlaps its
         # forward with the seg backward; see models/amd/amd_model.py).
         "log_whole_flow_loss": os.environ.get("BENCH_AMD_WHOLE", "1") == "1",
+        # Reference AMD architecture (reference configs/amd/amd.yaml):
+        # OS8 backbone with dilations [1,1,1,2], no contract_dilation, and
+        # a single-input stage-4 mask head at 1/8 resolution.
         "backbone2": {"depth": 50, "num_stages": 4, "out_indices": [0, 1, 2, 3],
-                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
-                      "contract_dilation": True},
-        "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
-                         "channels": 256, "num_convs": 2, "dilation": 6,
-                         "dropout_ratio": 0.1, "num_classes": 5, "concat_input": False},
+                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 1, 2],
+                      "contract_dilation": False},
+        "decode_head2": {"in_index": 3, "channels": 256, "num_convs": 2,
+                         "dilation": 6, "dropout_ratio": 0.1, "num_classes": 5,
+                         "concat_input": False},
     }
     model = build_amd_model(mk, dtype=dtype)
     cfg = Config({
