@@ -19,8 +19,19 @@ peak bf16 matmul throughput.
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
 
-Env knobs: BENCH_DTYPE (bfloat16|float32), BENCH_BATCH (8), BENCH_SCAN_K (4),
-BENCH_RECIPES (all|stage1), BENCH_EXTRA_TIMEOUT (s, per extra recipe).
+The headline JSON line is printed IMMEDIATELY after the stage-1 measurement
+(round 2 lost its entire perf artifact to a driver timeout during the extra
+recipes: BENCH_r02.json rc=124, parsed=null). If the extra recipes complete,
+a second, enriched JSON line (same headline fields + stage21/amd fields) is
+printed last — the driver parses the last `{`-line, so it sees the enriched
+line when extras land and the plain headline when they don't.
+
+Env knobs: BENCH_DTYPE (bfloat16|float32), BENCH_BATCH (8),
+BENCH_SCAN_K (auto|1|4... — "auto" uses 4 only when this recipe's compiled
+program is known-cached in /tmp/jax_cache, else 1: the scanned program's
+cold compile is ~150s vs ~15s, which is what ate round 2's driver budget),
+BENCH_RECIPES (all|stage1), BENCH_EXTRA_TIMEOUT (s, per extra recipe),
+BENCH_TOTAL_BUDGET (s, hard ceiling on extras; headline is never at risk).
 """
 
 from __future__ import annotations
@@ -60,6 +71,40 @@ def _configure_jax():
     except Exception:
         pass
     return jax
+
+
+_CACHE_DIR = "/tmp/jax_cache"
+
+
+def _warm_marker(recipe: str, scan_k: int) -> str:
+    return os.path.join(_CACHE_DIR, f".bench_warm_{recipe}_k{scan_k}")
+
+
+def _resolve_scan_k(recipe: str, env_var: str, fast_default: int = 1,
+                    warm_default: int = 4) -> int:
+    """Pick the scan-K dispatch factor without risking a cold 150s compile.
+
+    "auto" (the default) chooses warm_default only when a prior bench run
+    on this host left a marker saying that exact program compiled and hit
+    the persistent cache — otherwise the ~10x cheaper-to-compile per-step
+    program. The driver's end-of-round run has a hard wall-clock budget;
+    losing ~1 ms/step of dispatch tail beats losing the whole artifact.
+    """
+    raw = os.environ.get(env_var, "auto")
+    if raw != "auto":
+        return int(raw)
+    if os.path.exists(_warm_marker(recipe, warm_default)):
+        return warm_default
+    return fast_default
+
+
+def _mark_warm(recipe: str, scan_k: int) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(_warm_marker(recipe, scan_k), "w") as f:
+            f.write("1")
+    except OSError:
+        pass
 
 
 def _peak_flops(dtype_name: str) -> float | None:
@@ -132,7 +177,15 @@ def _stage_kwargs(recipe: str):
     else:
         # The published stage-1 recipe trains WITHOUT EMA
         # (configs/rcf/rcf_stage1.yaml; EMA appears in stage 2.1).
-        mk["backbone2"].pop("create_ema", None)
+        # BENCH_EMA=1 restores round-1's EMA-included stage-1 recipe to
+        # attribute the r1->r2 gain: recipe change vs fused-conv/donation
+        # levers (VERDICT r2 item 8).
+        if os.environ.get("BENCH_EMA", "0") == "1":
+            mk["backbone2"]["create_ema"] = True
+            mk["decode_head2"]["create_ema"] = True
+            mk["ema_m"] = 0.999
+        else:
+            mk["backbone2"].pop("create_ema", None)
     return mk
 
 
@@ -183,9 +236,9 @@ def bench_rcf(recipe: str) -> dict:
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=216), mesh)
     # K optimizer steps per dispatch (the train loop's tpu.scan_steps mode,
     # parity-tested in tests/test_train_step.py): amortizes the ~1 ms relay
-    # dispatch + host pytree plumbing. BENCH_SCAN_K=1 restores per-step
-    # dispatch.
-    scan_k = int(os.environ.get("BENCH_SCAN_K", "4"))
+    # dispatch + host pytree plumbing. Default "auto": scan only when the
+    # scanned program is known-cached (cold compile ~150s vs ~15s).
+    scan_k = _resolve_scan_k(recipe, "BENCH_SCAN_K")
     from rcf_tpu.train.step import make_scanned_train_step, stack_batches
 
     oc_set = recipe == "stage21"  # CRF loss requires an elected channel
@@ -211,6 +264,8 @@ def bench_rcf(recipe: str) -> dict:
     state, losses = step(state, sharded, jax.random.PRNGKey(0), oc, object_channel_set=oc_set)
     np.asarray(losses["loss"])
     _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
+    if scan_k > 1:
+        _mark_warm(recipe, scan_k)
 
     def step_call(s, k):
         s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc,
@@ -256,6 +311,9 @@ def bench_amd() -> dict:
         # A/B knob for the reference's dead whole-flow loss. Default ON:
         # measured FASTER with it (334 vs 401 ms/step — XLA overlaps its
         # forward with the seg backward; see models/amd/amd_model.py).
+        # NOTE: that A/B was measured under the pre-round-2 resize_concat
+        # OS-mixed head; re-measure under the current stage-4 head with
+        # BENCH_AMD_WHOLE=0 before relying on the exact numbers.
         "log_whole_flow_loss": os.environ.get("BENCH_AMD_WHOLE", "1") == "1",
         # Reference AMD architecture (reference configs/amd/amd.yaml):
         # OS8 backbone with dilations [1,1,1,2], no contract_dilation, and
@@ -344,29 +402,42 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    # Headline first — it must never be lost to an extra recipe's compile.
+    t_start = time.perf_counter()
     result = bench_rcf("stage1")
     result["vs_baseline"] = round(
         result["value"] / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3)
+    # Headline FIRST, flushed: if the driver's wall-clock budget expires
+    # during the extra recipes below, this line is what survives in the
+    # artifact (round 2 printed it only at the end and lost everything).
+    print(json.dumps(result), flush=True)
 
+    got_extra = False
     if os.environ.get("BENCH_RECIPES", "all") == "all":
         # Release this process's TPU client so the children don't contend
-        # with it through the relay (each child compiles its own program;
-        # stage-2.1 is ~5 min cold).
+        # with it through the relay (each child compiles its own program).
         try:
             import jax._src.xla_bridge as _xb
 
             _xb._clear_backends()
         except Exception:
             pass
-        timeout_s = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "900"))
+        per_extra = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "240"))
+        budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
         for recipe, field in (("stage21", "stage21_frames_per_sec_per_chip"),
                               ("amd", "amd_frames_per_sec_per_chip")):
-            extra = _run_recipe_subprocess(recipe, timeout_s)
+            remaining = budget - (time.perf_counter() - t_start)
+            if remaining < 30:
+                _log(f"{recipe}: total budget exhausted; skipping")
+                continue
+            extra = _run_recipe_subprocess(recipe, min(per_extra, remaining))
             if extra:
                 result[field] = extra["value"]
+                got_extra = True
 
-    print(json.dumps(result))
+    # Enriched line last only when extras landed — the driver parses the
+    # last `{`-line of stdout.
+    if got_extra:
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
