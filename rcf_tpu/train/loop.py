@@ -100,34 +100,50 @@ def _init_variables(cfg, model, rng_seed: int = 0):
 def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=False,
              exporter=None, display_all=False, name="val_miou", save_vis_dir=None,
              mesh=None):
-    eval_step = make_eval_step(model, use_ema=use_ema)
+    multiprocess = jax.process_count() > 1
+    from ..parallel.mesh import batch_sharding, replicated
+
+    # Multi-host: probs are all-gathered on device (replicated output) so
+    # every process accumulates identical metrics — eval stays sharded over
+    # ALL chips (the reference evaluates on rank 0 only, main.py:180-238)
+    # and the channel election needs no extra broadcast.
+    out_sharding = replicated(mesh) if (mesh is not None and multiprocess) else None
+    eval_step = make_eval_step(model, use_ema=use_ema, out_sharding=out_sharding)
     evaluator = Evaluator(
         eval_pos_th=eval_pos_th,
         num_channels=model.mask_layer,
         object_channel=object_channel,
         exporter=exporter,
     )
-    from ..parallel.mesh import batch_sharding
-
     n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
     target_b = int(getattr(loader, "batch_size", 0)) or None
     for batch in loader:
-        imgs = batch["imgs"][:, 0]  # [B, H, W, 3]
-        b_real = imgs.shape[0]
+        imgs_host = batch["imgs"][:, 0]  # [B, H, W, 3]
+        b_real = imgs_host.shape[0]
         if mesh is not None:
-            # Shard eval over the data mesh (the reference evaluates on
-            # rank 0 only, main.py:180-238 — see SURVEY §2.3). Partial
-            # buckets are padded to the full batch size (one compiled shape
-            # per source-size bucket) and the pad rows dropped after.
+            # Shard eval over the data mesh. Partial buckets are padded to
+            # the full batch size (one compiled shape per source-size
+            # bucket) and the pad rows dropped after.
             pad_to = -(-(target_b or b_real) // n_dev) * n_dev
+            imgs = imgs_host
             if b_real < pad_to:
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[:1], pad_to - b_real, axis=0)])
-            imgs = jax.device_put(imgs, batch_sharding(mesh))
+            if multiprocess:
+                # The eval loader is not process-sharded (every host loads
+                # the full split, deterministic order); each host feeds its
+                # own row-slice of the padded batch to assemble the global
+                # array — a plain device_put of host-local data would crash.
+                pi, pc = jax.process_index(), jax.process_count()
+                rows = imgs.shape[0] // pc
+                local = imgs[pi * rows:(pi + 1) * rows]
+                imgs = jax.make_array_from_process_local_data(
+                    batch_sharding(mesh), local, imgs.shape)
+            else:
+                imgs = jax.device_put(imgs, batch_sharding(mesh))
         else:
-            imgs = jnp.asarray(imgs)
+            imgs = jnp.asarray(imgs_host)
         probs = eval_step(state, imgs)[:b_real]
-        imgs = imgs[:b_real]
         frame_ids = [frame_id_from_path(p[0]) for p in batch["paths"]]
         evaluator.process_batch(probs, jnp.asarray(batch["ann"]), batch["seq_names"], frame_ids)
         if save_vis_dir is not None:
@@ -135,7 +151,7 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
             from .visualize import save_eval_visualization
 
             vis_name = f"eval_{batch['seq_names'][0]}_{int(batch['seq_ids'][0])}_{frame_ids[0]}_0000000"
-            save_eval_visualization(save_vis_dir, vis_name, np.asarray(imgs[0]), np.asarray(probs[0]))
+            save_eval_visualization(save_vis_dir, vis_name, np.asarray(imgs_host[0]), np.asarray(probs[0]))
     result = evaluator.finalize(display_all=display_all, name=name)
     logger.info(result.summary(name))
     return result
@@ -301,6 +317,17 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                     save_train_grid(train_vis_dir, global_step, batch["seq_names"][0], frame_id, grid)
                 except Exception as exc:  # parity: saving failures only warn
                     logger.warning(f"train visualization failed: {exc}")
+        # Flush the epoch's scan remainder (< scan_k batches) through the
+        # per-step program so every batch contributes a gradient step —
+        # previously up to scan_k-1 batches/epoch were silently dropped
+        # whenever steps_per_epoch % scan_k != 0.
+        for arrays in scan_buf:
+            sharded = shard_batch(arrays, mesh)
+            rng = jax.random.fold_in(base_rng, global_step)
+            state, losses = train_step(state, sharded, rng, oc,
+                                       object_channel_set=object_channel is not None)
+            global_step += 1
+        scan_buf = []
         logger.info(f"epoch {epoch} done in {time.time() - epoch_t0:.1f}s")
 
         if val_every > 0 and (epoch + 1) % val_every == 0:

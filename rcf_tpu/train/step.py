@@ -127,7 +127,13 @@ def make_scanned_train_step(model, k: int, donate: bool = True, crf_fn=None):
 
 
 def stack_batches(batches: list, mesh=None) -> dict:
-    """Stack K host batches into one [K, B, ...] scan batch (sharded on B)."""
+    """Stack K host batches into one [K, B, ...] scan batch (sharded on B).
+
+    Multi-process: each host passes its K process-local batch slices and the
+    leaves become global arrays via `make_array_from_process_local_data`,
+    mirroring `parallel.mesh.shard_batch` (a plain `device_put` of local
+    data onto a global sharding would crash under process_count > 1).
+    """
     import numpy as np
 
     out = {}
@@ -138,18 +144,29 @@ def stack_batches(batches: list, mesh=None) -> dict:
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                stacked = jax.device_put(
-                    stacked, NamedSharding(mesh, P(None, "data")))
+                sharding = NamedSharding(mesh, P(None, "data"))
+                if jax.process_count() > 1:
+                    stacked = jax.make_array_from_process_local_data(
+                        sharding, stacked)
+                else:
+                    stacked = jax.device_put(stacked, sharding)
             out[key] = stacked
         else:
             out[key] = vals[0]
     return out
 
 
-def make_eval_step(model, use_ema: bool = False):
-    """Jitted mask inference: imgs [B, H, W, 3] -> probs [B, h, w, C]."""
+def make_eval_step(model, use_ema: bool = False, out_sharding=None):
+    """Jitted mask inference: imgs [B, H, W, 3] -> probs [B, h, w, C].
 
-    @jax.jit
+    out_sharding: optional sharding for the output probs. Under
+    process_count > 1 the eval harness passes a *replicated* sharding so
+    the probs are all-gathered on device and every host can read the full
+    array (host-side metric accumulation then runs identically on every
+    process — the reference evaluates on rank 0 only, main.py:180-238).
+    """
+
+    @functools.partial(jax.jit, out_shardings=out_sharding)
     def eval_step(state: TrainState, imgs: jnp.ndarray):
         if use_ema:
             variables = {"params": state.ema_params, "batch_stats": state.ema_stats}

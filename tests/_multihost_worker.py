@@ -67,6 +67,30 @@ def main():
     loss = float(np.asarray(losses["loss"].addressable_data(0)))
     print(f"MULTIHOST_LOSS {pid} {loss:.6f}", flush=True)
 
+    # ---- eval smoke: the multi-host-safe evaluate() path ----
+    # Every process loads the full split (eval loader is not
+    # process-sharded), feeds its row-slice of each padded batch, and reads
+    # back device-replicated probs — all processes must report the SAME
+    # mIoU (the reference is rank-0-only eval, main.py:180-238).
+    data_root = sys.argv[4] if len(sys.argv) > 4 else None
+    if data_root:
+        from rcf_tpu.config import Config as _Config
+        from rcf_tpu.data import DataLoader, VideoDataset, get_transform
+        from rcf_tpu.train.loop import evaluate
+
+        eval_cfg = _Config({
+            "test_transform_kwargs": {"strong_aug": False, "base_scale": [9999, 72]},
+        })
+        ds = VideoDataset(data_root, training=False, frame_num=1,
+                          load_flow=False, split="val.txt", zero_ann=False)
+        tf = get_transform(eval_cfg, training=False)
+        loader = DataLoader(ds, tf, batch_size=4, shuffle=False,
+                            drop_last=False, num_workers=0, group_by_shape=True)
+        result = evaluate(eval_cfg, model, state, loader, eval_pos_th=0.35,
+                          object_channel=None, mesh=mesh)
+        print(f"MULTIHOST_EVAL {pid} {result.miou_frame_avg:.6f} "
+              f"{result.elected_channel}", flush=True)
+
 
 if __name__ == "__main__":
     main()

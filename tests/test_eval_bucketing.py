@@ -71,8 +71,8 @@ def test_eval_sharded_and_bounded_compiles(multi_aspect_data, monkeypatch):
     seen_shapes = []
     real_make = loop_mod.make_eval_step
 
-    def recording_make(model, use_ema=False):
-        step = real_make(model, use_ema=use_ema)
+    def recording_make(model, use_ema=False, **kwargs):
+        step = real_make(model, use_ema=use_ema, **kwargs)
 
         def wrapped(state, imgs):
             seen_shapes.append(tuple(imgs.shape))

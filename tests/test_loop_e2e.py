@@ -87,3 +87,22 @@ def test_full_run_trains_validates_elects_and_exports(davis_like, tmp_path):
     files = sorted(os.listdir(export_dir / "0"))
     assert len(files) == 7
     assert files[0] == "pred_seg_bear_00000_0000000.png"
+
+
+@pytest.mark.slow
+def test_scan_steps_remainder_batches_are_not_dropped(davis_like, tmp_path):
+    """steps_per_epoch % scan_k != 0: the remainder must still train.
+
+    7 train samples wrap-pad to exactly 1 full batch per epoch; with
+    tpu.scan_steps=2 the scan buffer never fills, so before the remainder
+    flush the model took ZERO optimizer steps. Every batch must contribute
+    a gradient step (state.step == epochs * steps_per_epoch).
+    """
+    cfg = _cfg(davis_like, tmp_path / "ckpt")
+    cfg_d = cfg.to_dict()
+    cfg_d["tpu"] = {"scan_steps": 2, "donate_state": False}
+    cfg_d["epochs"] = 2
+    cfg_d["trainer_kwargs"] = {"check_val_every_n_epoch": 0}  # no val: isolate training
+    cfg_d["model_kwargs"]["log_interval"] = 1000  # skip vis
+    state = run(Config(cfg_d), test_only=False, no_test=True)
+    assert int(state.step) == 2, f"expected 2 optimizer steps, got {int(state.step)}"

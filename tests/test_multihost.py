@@ -26,32 +26,41 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_train_step(tmp_path):
+def test_two_process_train_step(tmp_path, davis_like):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_multihost_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
-        subprocess.Popen([sys.executable, worker, coord, str(pid), "2"],
+        subprocess.Popen([sys.executable, worker, coord, str(pid), "2",
+                          str(davis_like)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, cwd=repo, env=env)
         for pid in range(2)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1200)
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
 
-    losses = {}
+    losses, evals = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
                 _, pid, val = line.split()
                 losses[int(pid)] = float(val)
+            elif line.startswith("MULTIHOST_EVAL"):
+                _, pid, miou, chan = line.split()
+                evals[int(pid)] = (float(miou), int(chan))
     assert set(losses) == {0, 1}, outs
     # Both processes observe the same global loss.
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    # Eval smoke: sharded multi-host eval ran on both processes and they
+    # accumulated IDENTICAL metrics + channel election (replicated probs).
+    assert set(evals) == {0, 1}, outs
+    assert evals[0][0] == pytest.approx(evals[1][0], rel=1e-6)
+    assert evals[0][1] == evals[1][1]
 
     # Single-process reference on the SAME global batch (8 virtual devices).
     ref = subprocess.run(
