@@ -1,10 +1,13 @@
 """AMD baseline: appearance-motion decomposition (ablation parity).
 
-Parity with `models/amd/amd_model.py`: the same ResNet backbone + FCN mask
-head as RCF, but motion comes from a *learned* PWC-Lite flownet over
-per-mask constant flow groups; the loss is the unsupervised photometric
-flow loss over both the segment-wise piecewise-constant flows and the
-unconstrained flows (`amd_model.py:194-266`, `models/fcn_head.py:149-209`).
+Parity with `models/amd/amd_model.py`: an OS8 ResNet backbone (dilations
+[1,1,1,2], no contract_dilation — unlike RCF's OS4/8 [1,1,2,4]) with a
+single-input stage-4 FCN mask head at 1/8 resolution (reference
+configs/amd/amd.yaml, unlike RCF's resize_concat OS-mixed head); motion
+comes from a *learned* PWC-Lite flownet over per-mask constant flow
+groups; the loss is the unsupervised photometric flow loss over both the
+segment-wise piecewise-constant flows and the unconstrained flows
+(`amd_model.py:194-266`, `models/fcn_head.py:149-209`).
 
 Images are un-normalized back to [0, 1] and resized to (384, 640)
 (align_corners=True) before the flownet (`fcn_head.py:160-167`).

@@ -99,18 +99,38 @@ def test_area_resize_matches_torch():
     np.testing.assert_allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-6)
 
 
-def test_amd_model_forward_and_grads():
-    from rcf_tpu.models.amd import build_amd_model
-
-    mk = {
-        "w_seg": 1.0,
-        "mask_layer": 5,
+# Two head architectures: "reference" is the shipped reference-parity AMD
+# (configs/amd/amd.yaml: OS8 backbone dilations [1,1,1,2] without
+# contract_dilation, single-input stage-4 head); "rcf_shaped" is the
+# RCF-style resize_concat OS-mixed head (kept as a coverage variant).
+_AMD_ARCHS = {
+    "reference": {
+        "backbone2": {"depth": 18, "num_stages": 4, "out_indices": [0, 1, 2, 3],
+                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 1, 2],
+                      "contract_dilation": False},
+        "decode_head2": {"in_index": 3, "channels": 16, "num_convs": 2,
+                         "dilation": 6, "dropout_ratio": 0.1, "num_classes": 5,
+                         "concat_input": False},
+    },
+    "rcf_shaped": {
         "backbone2": {"depth": 18, "num_stages": 4, "out_indices": [0, 1, 2, 3],
                       "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
                       "contract_dilation": True},
         "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
                          "channels": 16, "num_convs": 2, "dilation": 6,
                          "dropout_ratio": 0.1, "num_classes": 5, "concat_input": False},
+    },
+}
+
+
+@pytest.mark.parametrize("arch", sorted(_AMD_ARCHS))
+def test_amd_model_forward_and_grads(arch):
+    from rcf_tpu.models.amd import build_amd_model
+
+    mk = {
+        "w_seg": 1.0,
+        "mask_layer": 5,
+        **_AMD_ARCHS[arch],
         "flow_size": (64, 64),
     }
     model = build_amd_model(mk)
@@ -139,15 +159,12 @@ def test_amd_whole_flow_loss_knob():
     reference amd_model.py:222,266)."""
     from rcf_tpu.models.amd import build_amd_model
 
+    arch = _AMD_ARCHS["reference"]
     mk = {
         "w_seg": 1.0,
         "mask_layer": 5,
-        "backbone2": {"depth": 18, "num_stages": 4, "out_indices": [0, 1, 2, 3],
-                      "strides": [1, 2, 1, 1], "dilations": [1, 1, 2, 4],
-                      "contract_dilation": True},
-        "decode_head2": {"input_transform": "resize_concat", "in_index": [0, 3],
-                         "channels": 16, "num_convs": 2, "dilation": 6,
-                         "dropout_ratio": 0.0, "num_classes": 5, "concat_input": False},
+        "backbone2": arch["backbone2"],
+        "decode_head2": {**arch["decode_head2"], "dropout_ratio": 0.0},
         "flow_size": (64, 64),
     }
     rng = np.random.default_rng(9)

@@ -72,14 +72,12 @@ def main():
 
     def make_partial(which):
         def part(x1, x4, k1, k4):
-            orig = frcmod._wrong_lines
             # monkeypatch-free: recompute with selective splice via flags
             return frc.same_conv(x1, k1, d) + _fused_selective(x4, k4, which)
         return part
 
     def _fused_selective(x, kernel, which):
         """Copy of fused_resize_conv with branches gated for attribution."""
-        import numpy as _np
         h = w = 48
         ht = wt = 96
         n = x.shape[0]
