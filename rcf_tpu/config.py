@@ -139,6 +139,9 @@ def _coerce(key: str, raw: str, existing: Any) -> Any:
     if existing is None or isinstance(existing, (list, dict)):
         # YAML-parse so `--opts x null`, `--opts y "[1, 2]"` work.
         return yaml.safe_load(raw)
+    if raw in ("null", "~", "None"):
+        # Allow nulling out string-valued keys (e.g. pretrained_model).
+        return None
     return raw
 
 

@@ -77,6 +77,10 @@ def main(argv=None) -> int:
     parser.add_argument("--export-dir-name", type=str, default="saved_eval_export")
     parser.add_argument("--data-dir", type=str, default="data")
     parser.add_argument("--dino-checkpoint", type=str, default=None)
+    parser.add_argument("--seqs", type=str, default=None,
+                        help="comma-separated sequence names to elect over "
+                             "(default: the reference's hard-coded val list, "
+                             "maa.py:319-356; needed for synthetic datasets)")
     args = parser.parse_args(argv)
     set_loglevel(True)
 
@@ -88,9 +92,10 @@ def main(argv=None) -> int:
 
     dino = DinoFeatures(checkpoint=args.dino_checkpoint)
     channels = [args.object_channel] if args.object_channel is not None else list(range(args.num_channels))
+    seqs = args.seqs.split(",") if args.seqs else VAL_SEQS[args.dataset]
     maas = []
     for ch in channels:
-        maa = maa_for_channel(dino, images_dir, pred_dir, ch, VAL_SEQS[args.dataset],
+        maa = maa_for_channel(dino, images_dir, pred_dir, ch, seqs,
                               args.step, args.first_frames_only, gt_dir)
         logger.info(f"frame MAA with object channel {ch}: {maa * 100.:.2f}")
         maas.append(maa)

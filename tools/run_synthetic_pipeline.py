@@ -1,0 +1,201 @@
+"""Run the FULL three-stage RCF pipeline on synthetic DAVIS-contract data.
+
+Mirrors the reference pipeline end to end (reference README.md:97-168):
+
+  stage 1 train -> export trainval masks (all channels) -> MAA election
+  -> stage 2.1 (in-training CRF) -> export trainval EMA masks
+  -> semantic constraints (CRF -> NCut refine -> CRF -> merge) pseudo-labels
+  -> stage 2.2 (PL loss) -> final eval per stage (+ official DAVIS J&F)
+
+Real DAVIS frames/weights are absent from this image, so data is the
+synthetic generator (tools/make_synthetic_davis.py) and DINO is the random
+fallback unless DINO_CHECKPOINT is set. Every stage is a subprocess of the
+real CLI — the same commands a user would run.
+
+Usage:
+  python tools/run_synthetic_pipeline.py --work /tmp/pipe \
+      [--stages data,stage1,export1,maa,stage21,export_ema,sc,stage22,davis_eval]
+      [--epochs1 40] [--epochs21 6] [--epochs22 6] [--seqs 3] [--frames 40]
+
+Stages are resumable: state (elected channel, stage mious) persists in
+<work>/pipeline_state.json. Prints a JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ALL_STAGES = ["data", "stage1", "export1", "maa", "stage21", "export_ema",
+              "sc", "stage22", "davis_eval"]
+
+
+def _run(cmd, **kw):
+    print("[pipeline] $", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, cwd=REPO, **kw)
+
+
+def _cli(config, opts, extra_flags=(), check=True):
+    cmd = [sys.executable, "-m", "rcf_tpu.cli", config, *extra_flags, "--opts"]
+    for k, v in opts.items():
+        cmd += [k, json.dumps(v) if isinstance(v, (dict, list, bool)) or v is None else str(v)]
+    proc = _run(cmd, capture_output=True, text=True)
+    sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+    if check and proc.returncode != 0:
+        raise RuntimeError(f"{config} failed rc={proc.returncode}")
+    return proc.stdout + proc.stderr
+
+
+def _last_miou(output: str, name: str = "test_miou") -> float | None:
+    hits = re.findall(rf"{name}: ([0-9.]+)\s+{name}_frame_avg: ([0-9.]+)", output)
+    return float(hits[-1][1]) if hits else None
+
+
+class State:
+    def __init__(self, work):
+        self.path = os.path.join(work, "pipeline_state.json")
+        self.d = {}
+        if os.path.exists(self.path):
+            self.d = json.load(open(self.path))
+
+    def set(self, k, v):
+        self.d[k] = v
+        with open(self.path, "w") as f:
+            json.dump(self.d, f, indent=1)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--stages", default=",".join(ALL_STAGES))
+    ap.add_argument("--epochs1", type=int, default=40)
+    ap.add_argument("--epochs21", type=int, default=6)
+    ap.add_argument("--epochs22", type=int, default=6)
+    ap.add_argument("--seqs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    work = os.path.abspath(args.work)
+    os.makedirs(work, exist_ok=True)
+    st = State(work)
+    stages = args.stages.split(",")
+    data_dir = os.path.join(work, "data")
+    data_root = os.path.join(data_dir, "data_davis")
+    seq_names = ",".join(f"seq{i}" for i in range(args.seqs))
+    common = {
+        "data_path": data_root,
+        "workers": args.workers,
+        "tpu.compute_dtype": args.dtype,
+    }
+
+    if "data" in stages and not os.path.exists(data_root):
+        _run([sys.executable, "tools/make_synthetic_davis.py", "--out", data_root,
+              "--seqs", str(args.seqs), "--frames", str(args.frames)], check=True)
+
+    s1_dir = os.path.join(work, "stage1")
+    if "stage1" in stages:
+        out = _cli("configs/rcf/rcf_stage1.yaml", {
+            **common,
+            "checkpoints_dir": s1_dir,
+            "pretrained_model": None,
+            "epochs": args.epochs1,
+            "loss_log_interval": 20,
+            "trainer_kwargs.check_val_every_n_epoch": 5,
+            "set_object_channel_after_epoch": 5,
+        })
+        st.set("stage1_miou", _last_miou(out))
+
+    if "export1" in stages:
+        _cli("configs/rcf/rcf_export_trainval.yaml", {
+            **common,
+            "checkpoints_dir": s1_dir,
+            "pretrained_model": os.path.join(s1_dir, "last"),
+            "object_channel": 0,  # export_all_seg exports every channel
+            "allow_overwriting_checkpoints_dir": True,
+        }, extra_flags=["--test"])
+
+    if "maa" in stages:
+        proc = _run([sys.executable, "-m", "rcf_tpu.grouping.maa",
+                     "--pretrain_dir", s1_dir,
+                     "--export-dir-name", "saved_eval_export_trainval",
+                     "--data-dir", data_dir, "--seqs", seq_names,
+                     "--num-channels", "4", "--first-frames-only"])
+        # Reference contract: elected channel IS the exit code (maa.py:402).
+        st.set("object_channel", proc.returncode)
+        print(f"[pipeline] MAA elected channel {proc.returncode}", flush=True)
+
+    ch = int(st.d.get("object_channel", 0))
+    s21_dir = os.path.join(work, "stage21")
+    if "stage21" in stages:
+        out = _cli("configs/rcf/rcf_stage2.1.yaml", {
+            **common,
+            "checkpoints_dir": s21_dir,
+            "pretrained_model": os.path.join(s1_dir, "last"),
+            "object_channel": ch,
+            "epochs": args.epochs21,
+            "loss_log_interval": 20,
+            "trainer_kwargs.check_val_every_n_epoch": 2,
+        })
+        st.set("stage21_miou", _last_miou(out))
+
+    if "export_ema" in stages:
+        _cli("configs/rcf/rcf_export_trainval_ema.yaml", {
+            **common,
+            "checkpoints_dir": s21_dir,
+            "pretrained_model": os.path.join(s21_dir, "last"),
+            "object_channel": ch,
+            "allow_overwriting_checkpoints_dir": True,
+        }, extra_flags=["--test"])
+
+    if "sc" in stages:
+        proc = _run([sys.executable, "-m", "rcf_tpu.grouping.semantic_constraints",
+                     "--pretrain_dir", s21_dir, "--object-channel", str(ch),
+                     "--data-dir", data_dir,
+                     "--export-dir-name", "saved_eval_export_trainval_ema"])
+        if proc.returncode != 0:
+            raise RuntimeError("semantic_constraints failed")
+
+    s22_dir = os.path.join(work, "stage22")
+    if "stage22" in stages:
+        pl_root = os.path.join(
+            s21_dir, f"saved_eval_export_trainval_ema_torchcrf_ncut_torchcrf/{ch}")
+        out = _cli("configs/rcf/rcf_stage2.2.yaml", {
+            **common,
+            "checkpoints_dir": s22_dir,
+            "pretrained_model": os.path.join(s21_dir, "last"),
+            "object_channel": ch,
+            "train_dataset_kwargs.pl_root": pl_root,
+            "epochs": args.epochs22,
+            "loss_log_interval": 20,
+            "trainer_kwargs.check_val_every_n_epoch": 2,
+        })
+        st.set("stage22_miou", _last_miou(out))
+
+    if "davis_eval" in stages:
+        # Official J&F on the LAST trained stage's val exports.
+        for name, ckdir in (("stage1", s1_dir), ("stage21", s21_dir), ("stage22", s22_dir)):
+            exp = os.path.join(ckdir, "saved_eval_export", str(ch))
+            if not os.path.isdir(exp):
+                continue
+            proc = _run([sys.executable, "-m", "rcf_tpu.eval.davis",
+                         "--davis_path", data_root, "--results_path", exp,
+                         "--set", "val", "--year", "2016", "--step", "0"],
+                        capture_output=True, text=True)
+            m = re.search(r"J-Mean[^0-9]*([0-9.]+)", proc.stdout)
+            if m:
+                st.set(f"{name}_jmean", float(m.group(1)))
+            sys.stderr.write(proc.stdout[-1500:])
+
+    print(json.dumps(st.d))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
