@@ -402,7 +402,6 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    t_start = time.perf_counter()
     result = bench_rcf("stage1")
     result["vs_baseline"] = round(
         result["value"] / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3)
@@ -421,11 +420,22 @@ def main() -> None:
             _xb._clear_backends()
         except Exception:
             pass
-        per_extra = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "240"))
-        budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
+        per_extra = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "420"))
+        # Extras budget starts AFTER the headline lands: the headline's own
+        # compile is tunnel-load-dependent (observed 44-242s warm for the
+        # SAME cached program — compilation happens relay-side, so the
+        # local persistent cache barely helps) and must never squeeze the
+        # extras window — nor vice versa. Child client init is the same
+        # lottery (observed 1-10 min). Extras stay subprocesses because an
+        # in-process compile cannot be interrupted (observed a 21-minute
+        # "warm" stage21 compile): enforced child timeouts guarantee rc=0
+        # within ~headline+600s even when the tunnel is hostile, and the
+        # already-printed headline makes a driver kill non-fatal anyway.
+        budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "600"))
+        t_extras = time.perf_counter()
         for recipe, field in (("stage21", "stage21_frames_per_sec_per_chip"),
                               ("amd", "amd_frames_per_sec_per_chip")):
-            remaining = budget - (time.perf_counter() - t_start)
+            remaining = budget - (time.perf_counter() - t_extras)
             if remaining < 30:
                 _log(f"{recipe}: total budget exhausted; skipping")
                 continue
