@@ -108,7 +108,10 @@ def run(input_dir: str, annotation_dir: str, step: int = 0, seq: str = "*",
             img_f = resize_bilinear(img_u8.astype(jnp.float32)[None], tuple(resolution))[0]
             img_run = jnp.clip(img_f, 0, 255).astype(jnp.uint8)
             mask_run = resize_bilinear(mask01[None, ..., None], tuple(resolution))[0, ..., 0]
-            refined = crf_soft_single(img_run, mask_run, params, chunk)
+            # Keep kernel widths in full-res pixel geometry on the small grid
+            # (same scaling as ops.crf.make_crf_fn).
+            refined = crf_soft_single(img_run, mask_run, params, chunk,
+                                      xy_scale=(resolution[1] / w, resolution[0] / h))
             return resize_bilinear(refined[None, ..., None], (h, w))[0, ..., 0]
         return crf_soft_single(img_u8, mask01, params, chunk)
 

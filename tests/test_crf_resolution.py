@@ -47,3 +47,18 @@ def test_downscaled_crf_agrees_at_mask_grid(down):
     tgt_down = np.asarray(resize_bilinear(down_t[..., None], (24, 24))[..., 0])
     agreement = np.mean(np.abs(tgt_full - tgt_down) < 0.25)
     assert agreement > 0.95, f"only {agreement:.3f} of target pixels agree"
+
+
+def test_xy_scale_preserves_fullres_kernel_geometry():
+    """A grid-pixel pair on the downscaled run must see the same spatial
+    kernel weight as the full-res pixels it stands in for: with
+    xy_scale = h_run/h_full, feature[i_grid] == feature_full[i_grid/ratio]
+    exactly (ops/crf.py::_pixel_features docstring)."""
+    from rcf_tpu.ops.crf import _xy_features
+
+    sxy = 80.0
+    full = np.asarray(_xy_features(8, 12, sxy)).reshape(8, 12, 2)
+    # 2x downscale in y, 3x in x: grid pixel (i, j) <-> full pixel (2i, 3j).
+    grid = np.asarray(
+        _xy_features(4, 4, sxy, xy_scale=(4 / 12, 4 / 8))).reshape(4, 4, 2)
+    np.testing.assert_allclose(grid, full[::2, ::3][:, :, :], rtol=1e-6)
