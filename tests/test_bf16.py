@@ -1,6 +1,7 @@
 """Mixed precision (bf16 compute, fp32 params/stats/solves) sanity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,7 @@ from rcf_tpu.train import create_train_state, make_train_step
 from tests.test_train_step import _cfg, _np_batch, _tiny_model_kwargs
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_bf16_train_step_finite_and_learns():
     mk = _tiny_model_kwargs(ema=True)
     model = build_model(mk, dtype=jnp.bfloat16)

@@ -2,6 +2,7 @@
 the model must match the host-normalized float path exactly."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,7 @@ def test_transform_keep_uint8(davis_like):
     assert out["gt_fw_flows"].dtype == np.float32
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_loop_runs_with_device_normalize(davis_like, tmp_path):
     from tests.test_loop_e2e import _cfg
     from rcf_tpu.train.loop import run

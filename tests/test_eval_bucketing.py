@@ -34,6 +34,7 @@ def multi_aspect_data(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_eval_sharded_and_bounded_compiles(multi_aspect_data, monkeypatch):
     import jax
     import jax.numpy as jnp
@@ -95,6 +96,7 @@ def test_eval_sharded_and_bounded_compiles(multi_aspect_data, monkeypatch):
     assert sum(result.frames_per_seq.values()) == 19 if hasattr(result, "frames_per_seq") else True
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_checkpoint_saved_without_validation(tmp_path, davis_like_cfg=None):
     """check_val_every_n_epoch=0 still writes `last` every epoch
     (reference ModelCheckpoint runs regardless, main.py:434-436)."""

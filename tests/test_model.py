@@ -80,6 +80,7 @@ def test_forward_train_losses_and_probs(model_and_vars):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_gradients_flow(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.default_rng(2)

@@ -165,6 +165,7 @@ def test_iou_counts_hard_argmax_mode():
     assert int(inter[0, 0]) == 0
 
 
+@pytest.mark.slow  # see tests/README.md time budget
 def test_scanned_train_step_matches_sequential():
     """K scanned steps == K sequential steps (identical math, one dispatch)."""
     import jax
