@@ -80,6 +80,12 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
+    # The round-2 verified synthetic recipe (RESULTS.md "End-to-end
+    # pipeline": 15 steps/epoch of batch 8x2 on the 117-window set).
+    # The config default of 16 (reference 2-GPU parity) converges far
+    # slower on this tiny set: measured stage-1 test mIoU 21.9 @ 40
+    # epochs with 16 vs 95.0 with 8.
+    ap.add_argument("--global-batch", type=int, default=8)
     args = ap.parse_args()
 
     work = os.path.abspath(args.work)
@@ -93,6 +99,7 @@ def main() -> int:
         "data_path": data_root,
         "workers": args.workers,
         "tpu.compute_dtype": args.dtype,
+        "global_batch_size": args.global_batch,
     }
 
     if "data" in stages and not os.path.exists(data_root):
