@@ -85,24 +85,31 @@ def _resolve_scan_k(recipe: str, env_var: str, fast_default: int = 1,
     """Pick the scan-K dispatch factor without risking a cold 150s compile.
 
     "auto" (the default) chooses warm_default only when a prior bench run
-    on this host left a marker saying that exact program compiled and hit
-    the persistent cache — otherwise the ~10x cheaper-to-compile per-step
-    program. The driver's end-of-round run has a hard wall-clock budget;
-    losing ~1 ms/step of dispatch tail beats losing the whole artifact.
+    on this host compiled that exact program AND measured the compile
+    genuinely fast (<60s, i.e. the persistent cache actually worked —
+    compilation happens relay-side and the cache often does NOT help:
+    44-1278s observed for "warm" programs). Otherwise the ~10x
+    cheaper-to-compile per-step program. The driver's end-of-round run has
+    a hard wall-clock budget and the headline prints only after this
+    compile; losing ~1 ms/step of dispatch tail beats losing the artifact.
     """
     raw = os.environ.get(env_var, "auto")
     if raw != "auto":
         return int(raw)
-    if os.path.exists(_warm_marker(recipe, warm_default)):
-        return warm_default
+    try:
+        with open(_warm_marker(recipe, warm_default)) as f:
+            if float(f.read().strip() or "inf") < 60.0:
+                return warm_default
+    except (OSError, ValueError):
+        pass
     return fast_default
 
 
-def _mark_warm(recipe: str, scan_k: int) -> None:
+def _mark_warm(recipe: str, scan_k: int, compile_s: float) -> None:
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         with open(_warm_marker(recipe, scan_k), "w") as f:
-            f.write("1")
+            f.write(f"{compile_s:.1f}")
     except OSError:
         pass
 
@@ -263,9 +270,10 @@ def bench_rcf(recipe: str) -> dict:
     flops_per_step = _compiled_flops(compiled)  # scan body counted once
     state, losses = step(state, sharded, jax.random.PRNGKey(0), oc, object_channel_set=oc_set)
     np.asarray(losses["loss"])
-    _log(f"compile + first step: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    _log(f"compile + first step: {compile_s:.1f}s")
     if scan_k > 1:
-        _mark_warm(recipe, scan_k)
+        _mark_warm(recipe, scan_k, compile_s)
 
     def step_call(s, k):
         s, losses = step(s, sharded, jax.random.PRNGKey(100 + k), oc,

@@ -1,0 +1,46 @@
+"""bench.py harness logic (no TPU): scan-K auto-resolution must never pick
+the expensive-to-compile scanned program unless a prior run PROVED the
+compile fast on this host (BENCH_r02.json was lost to a 153s cold compile;
+relay-side compilation makes the persistent cache unreliable)."""
+
+import importlib.util
+import os
+import sys
+
+
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scan_k_auto_prefers_cheap_compile(tmp_path, monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("BENCH_SCAN_K", raising=False)
+
+    # No marker: per-step program.
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 1
+
+    # Marker recording a SLOW compile (cache didn't actually help): still 1.
+    bench._mark_warm("stage1", 4, compile_s=153.2)
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 1
+
+    # Marker recording a genuinely fast compile: the scanned program is safe.
+    bench._mark_warm("stage1", 4, compile_s=15.3)
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 4
+
+    # Explicit env override always wins.
+    monkeypatch.setenv("BENCH_SCAN_K", "1")
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 1
+    monkeypatch.setenv("BENCH_SCAN_K", "8")
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 8
+
+    # Corrupt marker degrades to the cheap default, not a crash.
+    monkeypatch.delenv("BENCH_SCAN_K", raising=False)
+    with open(bench._warm_marker("stage1", 4), "w") as f:
+        f.write("not-a-number")
+    assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 1
