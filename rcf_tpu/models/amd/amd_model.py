@@ -78,7 +78,11 @@ class AMDModel(nn.Module):
     def setup(self):
         self.backbone2 = ResNet(**self.backbone_cfg, dtype=self.dtype)
         self.decode_head2 = FCNHead(**self.mask_head_cfg, dtype=self.dtype)
-        self.flownet = PWCLite(mask_layer=self.mask_layer)
+        # Flownet convs run in the compute dtype too (flow values and their
+        # cross-level accumulation stay f32 inside PWCLite); the reference
+        # runs its whole AMD step under torch AMP semantics when precision
+        # is 16 (main.py trainer precision knob).
+        self.flownet = PWCLite(mask_layer=self.mask_layer, dtype=self.dtype)
 
     def mask_probs(self, imgs_flat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from ..rcf import maybe_normalize

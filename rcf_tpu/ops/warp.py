@@ -495,5 +495,6 @@ def correlation(x1: jnp.ndarray, x2: jnp.ndarray, max_displacement: int = 4) -> 
     for i in range(2 * d + 1):
         for j in range(2 * d + 1):
             shifted = jax.lax.dynamic_slice(x2p, (0, i, j, 0), (b, h, w, c))
-            outs.append(jnp.mean(x1 * shifted, axis=-1))
-    return jnp.stack(outs, axis=-1)
+            # Channel mean accumulates in f32 even for bf16 features.
+            outs.append(jnp.mean(x1 * shifted, axis=-1, dtype=jnp.float32))
+    return jnp.stack(outs, axis=-1).astype(x1.dtype)

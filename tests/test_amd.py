@@ -157,6 +157,55 @@ def test_amd_model_forward_and_grads(arch):
     assert g_flow > 0 and g_back > 0
 
 
+def test_pwc_lite_bf16_flows_f32():
+    """bf16 compute dtype: flownet convs/params follow the mixed-precision
+    contract (f32 params, bf16 activations) while flow VALUES stay f32."""
+    from rcf_tpu.models.amd.pwc_lite import PWCLite
+
+    rng = np.random.default_rng(6)
+    net = PWCLite(mask_layer=5, dtype=jnp.bfloat16)
+    im1 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.bfloat16)
+    im2 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.bfloat16)
+    m = jnp.ones((1, 16, 16, 5), jnp.float32) / 5
+    fvars = net.init(jax.random.PRNGKey(0), im1, im2, m, m)
+    assert all(g.dtype == jnp.float32
+               for g in jax.tree_util.tree_leaves(fvars["params"]))
+    flows = net.apply(fvars, im1, im2, m, m)
+    for key in ("flows_fw", "flows_bw", "flows_fw_all", "flows_fw_group"):
+        assert all(f.dtype == jnp.float32 for f in flows[key]), key
+        assert all(np.all(np.isfinite(np.asarray(f))) for f in flows[key]), key
+
+
+@pytest.mark.slow
+def test_amd_model_bf16_finite_grads():
+    """Full AMD train-path grads stay finite under the bf16 recipe."""
+    from rcf_tpu.models.amd import build_amd_model
+
+    mk = {
+        "w_seg": 1.0,
+        "mask_layer": 5,
+        **_AMD_ARCHS["reference"],
+        "flow_size": (64, 64),
+    }
+    model = build_amd_model(mk, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                           imgs, train=True)
+
+    def loss_fn(params):
+        (losses, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, imgs, train=True,
+            rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+        )
+        return losses["loss"], losses
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_amd_whole_flow_loss_knob():
     """log_whole_flow_loss=False drops only the logging-only key: the
     trained loss is bit-identical (the whole-flow loss never enters it,
