@@ -44,21 +44,11 @@ def main(argv=None) -> int:
     cli = parse_args(argv)
     set_loglevel(debug=True)
 
-    # RCF_PLATFORM=cpu forces the CPU backend (this image's sitecustomize
-    # registers the TPU backend programmatically, so JAX_PLATFORMS alone
-    # is not honored). RCF_HOST_DEVICES=8 adds a virtual device mesh.
     import os as _os
 
-    if _os.environ.get("RCF_HOST_DEVICES"):
-        flags = _os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            _os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={_os.environ['RCF_HOST_DEVICES']}"
-            ).strip()
-    if _os.environ.get("RCF_PLATFORM"):
-        import jax
+    from .utils.platform import apply_platform_env
 
-        jax.config.update("jax_platforms", _os.environ["RCF_PLATFORM"])
+    apply_platform_env()
 
     # Multi-host (DCN) initialization — the TPU-native counterpart of the
     # reference's `torch.distributed.run` launcher (README.md:75,

@@ -156,6 +156,9 @@ def main(argv=None) -> int:
     parser.add_argument("--jobs", type=int, default=8, help="native-engine threads")
     args = parser.parse_args(argv)
     set_loglevel(True)
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     out = run(args.input, args.annotation_dir, args.step, args.seq, args.allow_skip,
               args.batch, args.chunk, engine=args.engine,
               resolution=tuple(args.resolution) if args.resolution else None,

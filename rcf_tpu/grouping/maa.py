@@ -83,6 +83,9 @@ def main(argv=None) -> int:
                              "maa.py:319-356; needed for synthetic datasets)")
     args = parser.parse_args(argv)
     set_loglevel(True)
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     data_root, images_sub = DATA_ROOTS[args.dataset]
     data_root = os.path.join(args.data_dir, os.path.basename(data_root))

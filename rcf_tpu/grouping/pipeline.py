@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.dino_vit import import_dino_torch, vit_base, vit_small
 from ..ops import resize_bilinear, resize_nearest
 from ..utils import get_logger
 
@@ -78,26 +77,46 @@ class DinoFeatures:
                 self.arch, self.patch_size, checkpoint_path=ckpt_path)
             logger.info(f"Loaded {self.arch} weights from {ckpt_path}")
         else:
-            factory = vit_small if self.arch == "vit_small" else vit_base
-            self.model = factory(patch_size=self.patch_size)
+            # No weights reachable: hand-crafted patch features (frame-centered
+            # mean RGB per patch) instead of a RANDOM ViT. Random keys give an
+            # uninformative affinity, the NCut-refined mask collapses, and the
+            # sc merge product zeroes every pseudo-label; centered color gives
+            # the cosine-threshold affinity (tau=0.2) real grouping signal on
+            # color-separable content, keeping the no-checkpoint pipeline
+            # meaningful end to end. Real runs set DINO_CHECKPOINT.
+            self.model = None
             logger.warning(
-                "No DINO checkpoint available — using random ViT weights "
-                "(set DINO_CHECKPOINT for real runs)"
+                "No DINO checkpoint available — using hand-crafted color patch "
+                "features (set DINO_CHECKPOINT for real runs)"
             )
-            dummy = jnp.zeros((1, self.patch_size * 2, self.patch_size * 2, 3))
-            self.params = self.model.init(jax.random.PRNGKey(0), dummy)["params"]
         self.grid_hw = (
             self.resize_imgs_size[0] // self.patch_size,
             self.resize_imgs_size[1] // self.patch_size,
         )
-        self._feats_fn = jax.jit(
-            lambda imgs: self.model.apply({"params": self.params}, imgs, return_last_k=True)
-        )
+        if self.model is not None:
+            self._feats_fn = jax.jit(
+                lambda imgs: self.model.apply({"params": self.params}, imgs, return_last_k=True)
+            )
+        else:
+            gh, gw = self.grid_hw
+
+            def _color_feats(imgs):
+                b = imgs.shape[0]
+                p = self.patch_size
+                x = imgs.reshape(b, gh, p, gw, p, 3).mean(axis=(2, 4))  # [B,gh,gw,3]
+                x = x.reshape(b, gh * gw, 3)
+                x = x - x.mean(axis=1, keepdims=True)  # center: distinct colors -> cos<tau
+                cls = jnp.ones((b, 1, 3), x.dtype)  # dummy CLS row (ncut uses feats[1:])
+                return jnp.concatenate([cls, x], axis=1)
+
+            self._feats_fn = jax.jit(_color_feats)
 
     def __call__(self, imgs01: np.ndarray) -> jnp.ndarray:
         """imgs01: [B, H, W, 3] float RGB in [0,1] -> key feats [B, N+1, D]."""
-        x = (imgs01 - IMAGENET_MEAN) / IMAGENET_STD
-        x = resize_bilinear(jnp.asarray(x), self.resize_imgs_size)
+        x = jnp.asarray(imgs01)
+        if self.model is not None:
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x = resize_bilinear(x, self.resize_imgs_size)
         return self._feats_fn(x)
 
     def mask_to_grid(self, mask: np.ndarray) -> jnp.ndarray:

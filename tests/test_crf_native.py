@@ -54,3 +54,19 @@ def test_native_agrees_with_attention_engine(native):
     lattice = native.crf_soft_native(rgb, mask, refine_iters=20)
     agreement = (exact == lattice).mean()
     assert agreement > 0.97, f"lattice vs exact agreement only {agreement:.3f}"
+
+
+def test_semantic_constraints_crf_pass_engines_agree(native):
+    """The pseudo-label factory's _crf_pass must give the same refinement
+    under either engine (it defaults to the native lattice via auto)."""
+    from rcf_tpu.grouping.semantic_constraints import _crf_pass, _resolve_crf_engine
+
+    assert _resolve_crf_engine("auto") == "native"
+    rng = np.random.default_rng(2)
+    rgb, mask = _two_color_scene(rng)
+    params = CRFParams(refine_iters=20, crf_scale=0.7)
+    out_native = _crf_pass(rgb, mask, params, chunk=256, engine="native")
+    out_attn = _crf_pass(rgb, mask, params, chunk=256, engine="attention")
+    assert out_native.shape == mask.shape
+    agreement = (out_native == out_attn).mean()
+    assert agreement > 0.97, f"sc engines agree only {agreement:.3f}"

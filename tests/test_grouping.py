@@ -143,3 +143,29 @@ def test_dino_vit_k_features_match_torch_replica():
             tx = blk(tx)
         theirs_k = blocks[-1](tx, return_k=True).numpy()
     np.testing.assert_allclose(ours_k, theirs_k, atol=2e-4, rtol=1e-3)
+
+
+def test_handcrafted_feature_fallback_gives_informative_affinity():
+    """Without a DINO checkpoint, DinoFeatures uses centered color patch
+    features; the NCut value must prefer the color-aligned grouping (a
+    random ViT gave an uninformative affinity that collapsed the sc merge)."""
+    from rcf_tpu.grouping.pipeline import DinoFeatures
+
+    dino = DinoFeatures(checkpoint="/nonexistent", resize_imgs_size=(64, 64))
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:, :32, 0] = 0.8  # left: red
+    img[:, 32:, 2] = 0.8  # right: blue
+    feats = dino(img[None])[0]
+    assert feats.shape == (8 * 8 + 1, 3)
+
+    grid = np.zeros((8, 8), np.float32)
+    grid[:, :4] = 1.0  # color-aligned grouping
+    aligned = float(soft_ncut_value(feats, jnp.asarray(grid)))
+    crossed = float(soft_ncut_value(feats, jnp.asarray(grid.T)))  # cuts both colors
+    assert aligned < crossed, (aligned, crossed)
+
+    refined = ncut_refine(feats, jnp.asarray(grid))
+    assert refined.shape == grid.shape
+    # Refinement keeps (or sharpens) the aligned grouping — no collapse.
+    assert float(refined[:, :4].mean()) > 0.6
+    assert float(refined[:, 4:].mean()) < 0.4
