@@ -169,3 +169,34 @@ def test_handcrafted_feature_fallback_gives_informative_affinity():
     # Refinement keeps (or sharpens) the aligned grouping — no collapse.
     assert float(refined[:, :4].mean()) > 0.6
     assert float(refined[:, 4:].mean()) < 0.4
+
+
+def test_maa_elects_color_aligned_channel(tmp_path):
+    """MAA (reference maa.py:19-36,398-402): -NCut must rank the channel whose
+    mask matches the color grouping above a misaligned channel, end to end
+    through the file-reading maa_for_channel path with the handcrafted
+    affinity fallback."""
+    from PIL import Image
+
+    from rcf_tpu.grouping.maa import maa_for_channel
+    from rcf_tpu.grouping.pipeline import DinoFeatures
+
+    h, w = 64, 64
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, : w // 2, 0] = 0.8
+    img[:, w // 2:, 2] = 0.8
+    images_dir = tmp_path / "imgs"
+    (images_dir / "seq0").mkdir(parents=True)
+    Image.fromarray((img * 255).astype(np.uint8)).save(images_dir / "seq0" / "00000.jpg")
+
+    pred_dir = tmp_path / "export"
+    for ch, mask in ((0, np.tile(np.arange(w) < w // 2, (h, 1))),  # aligned
+                     (1, np.tile((np.arange(h) < h // 2)[:, None], (1, w)))):  # crossed
+        (pred_dir / str(ch)).mkdir(parents=True)
+        Image.fromarray((mask * 255).astype(np.uint8)).convert("L").save(
+            pred_dir / str(ch) / "pred_seg_seq0_00000_0000000.png")
+
+    dino = DinoFeatures(checkpoint="/nonexistent", resize_imgs_size=(64, 64))
+    maa0 = maa_for_channel(dino, str(images_dir), str(pred_dir), 0, ["seq0"], 0, True)
+    maa1 = maa_for_channel(dino, str(images_dir), str(pred_dir), 1, ["seq0"], 0, True)
+    assert maa0 > maa1, (maa0, maa1)
