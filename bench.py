@@ -19,19 +19,26 @@ peak bf16 matmul throughput.
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
 
-The headline JSON line is printed IMMEDIATELY after the stage-1 measurement
-(round 2 lost its entire perf artifact to a driver timeout during the extra
-recipes: BENCH_r02.json rc=124, parsed=null). If the extra recipes complete,
-a second, enriched JSON line (same headline fields + stage21/amd fields) is
-printed last — the driver parses the last `{`-line, so it sees the enriched
-line when extras land and the plain headline when they don't.
+Compile-lottery defenses (rounds 2 AND 3 both lost the driver artifact to
+rc=124 inside a single cold compile+first-step window; relay-side compiles
+of the SAME program measured 44-1278s):
+  1. AOT executables: `python bench.py --save-exe <recipe>` serializes the
+     compiled step into `bench_cache/` IN THE REPO (survives the
+     builder->driver boundary, unlike /tmp); the bench deserializes-and-
+     loads it instead of compiling (see bench_aot.py).
+  2. The headline itself runs in timeout-guarded subprocess attempts
+     (BENCH_HEADLINE_ATTEMPTS x BENCH_HEADLINE_TIMEOUT): with 44-1278s
+     observed variance, three independent draws beat one long draw. A
+     final in-process attempt (old behavior) runs if all draws fail.
+  3. The headline JSON line is printed IMMEDIATELY after the stage-1
+     measurement; extras append an enriched second line (the driver
+     parses the last `{`-line).
 
 Env knobs: BENCH_DTYPE (bfloat16|float32), BENCH_BATCH (8),
-BENCH_SCAN_K (auto|1|4... — "auto" uses 4 only when this recipe's compiled
-program is known-cached in /tmp/jax_cache, else 1: the scanned program's
-cold compile is ~150s vs ~15s, which is what ate round 2's driver budget),
+BENCH_SCAN_K (auto|1|4...), BENCH_AOT (1|0 — use serialized executables),
 BENCH_RECIPES (all|stage1), BENCH_EXTRA_TIMEOUT (s, per extra recipe),
-BENCH_TOTAL_BUDGET (s, hard ceiling on extras; headline is never at risk).
+BENCH_TOTAL_BUDGET (s, hard ceiling on extras; headline is never at risk),
+BENCH_HEADLINE_ATTEMPTS / BENCH_HEADLINE_TIMEOUT (subprocess redraws).
 """
 
 from __future__ import annotations
@@ -43,6 +50,8 @@ import sys
 import time
 
 import numpy as np
+
+import bench_aot
 
 
 def _log(msg: str) -> None:
@@ -171,6 +180,58 @@ def _measure_chain(step_call, state, fence) -> float:
     raise RuntimeError("benchmark failed after 3 attempts")
 
 
+def _result_dict(recipe: str, dtype_name: str, per_step: float, b: int, i: int,
+                 n_chips: int, scan_k: int, flops_per_step: float | None,
+                 aot: bool) -> dict:
+    prefix = "amd" if recipe == "amd" else f"rcf_{recipe}"
+    result = {
+        "metric": f"{prefix}_train_throughput_{dtype_name}",
+        "value": round(b * i / per_step / n_chips, 2),
+        "unit": "frames/sec/chip",
+        "scan_steps": scan_k,
+    }
+    if aot:
+        result["aot"] = True
+    if flops_per_step:
+        achieved = flops_per_step / per_step / n_chips
+        result["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
+        peak = _peak_flops(dtype_name)
+        if peak:
+            result["mfu"] = round(achieved / peak, 3)
+    return result
+
+
+def _bench_from_aot(recipe: str, dtype_name: str, b: int, i: int,
+                    n_chips: int) -> dict | None:
+    """Deserialize-and-load path: no relay-side compile at all."""
+    if os.environ.get("BENCH_AOT", "1") != "1":
+        return None
+    loaded = bench_aot.load(
+        recipe, bench_aot.fingerprint(recipe, dtype_name, b // n_chips))
+    if loaded is None:
+        return None
+    try:
+        compiled, flat, n_state, flops_per_step, scan_k = loaded
+        state_leaves, rest = tuple(flat[:n_state]), tuple(flat[n_state:])
+        t0 = time.perf_counter()
+        out = compiled(*state_leaves, *rest)
+        np.asarray(out[-1])  # loss fence
+        _log(f"{recipe}: aot first step {time.perf_counter() - t0:.1f}s")
+
+        def step_call(s, k):
+            out = compiled(*s, *rest)
+            return out[:-1], out[-1]
+
+        per_dispatch = _measure_chain(step_call, out[:-1], np.asarray)
+        per_step = per_dispatch / scan_k
+        return _result_dict(recipe, dtype_name, per_step, b, i, n_chips,
+                            scan_k, flops_per_step, aot=True)
+    except Exception as exc:
+        _log(f"{recipe}: aot path failed ({type(exc).__name__}: {exc}); "
+             "falling back to compile")
+        return None
+
+
 def _stage_kwargs(recipe: str):
     import __graft_entry__ as ge
 
@@ -196,16 +257,16 @@ def _stage_kwargs(recipe: str):
     return mk
 
 
-def bench_rcf(recipe: str) -> dict:
-    """stage1 / stage21: full train step (fwd, losses, bwd, Adam, EMA)."""
+def _prepare_rcf(recipe: str, scan_k: int, donate: bool | None = None):
+    """Build (step, state, sharded, oc, oc_set) for a stage recipe."""
     jax = _configure_jax()
     import jax.numpy as jnp
 
-    import __graft_entry__ as ge
     from rcf_tpu.config import Config
     from rcf_tpu.models import build_model
     from rcf_tpu.parallel import create_mesh, replicate, shard_batch
     from rcf_tpu.train import create_train_state, make_train_step
+    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
 
     n_chips = len(jax.devices())
     mesh = create_mesh()
@@ -241,19 +302,13 @@ def bench_rcf(recipe: str) -> dict:
         init_batch["imgs"], init_batch["gt_fw_flows"], init_batch["gt_bw_flows"], train=True,
     )
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=216), mesh)
-    # K optimizer steps per dispatch (the train loop's tpu.scan_steps mode,
-    # parity-tested in tests/test_train_step.py): amortizes the ~1 ms relay
-    # dispatch + host pytree plumbing. Default "auto": scan only when the
-    # scanned program is known-cached (cold compile ~150s vs ~15s).
-    scan_k = _resolve_scan_k(recipe, "BENCH_SCAN_K")
-    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
-
     oc_set = recipe == "stage21"  # CRF loss requires an elected channel
     # Donation matches the production train loop; donate=False forces XLA
     # to copy the whole state per step (~115 ms on AMD, measured). The
     # round-1 "donation flakiness" was the old measurement chain reusing
     # an already-donated state, fixed in _measure_chain.
-    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    if donate is None:
+        donate = os.environ.get("BENCH_DONATE", "1") == "1"
     if scan_k > 1:
         step = make_scanned_train_step(model, scan_k, donate=donate, crf_fn=crf_fn)
         sharded = stack_batches([batch] * scan_k, mesh)
@@ -261,9 +316,31 @@ def bench_rcf(recipe: str) -> dict:
         step = make_train_step(model, donate=donate, crf_fn=crf_fn)
         sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
+    return step, state, sharded, oc, oc_set, b, i, n_chips, dtype_name
+
+
+def bench_rcf(recipe: str) -> dict:
+    """stage1 / stage21: full train step (fwd, losses, bwd, Adam, EMA)."""
+    jax = _configure_jax()
+
+    n_chips = len(jax.devices())
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    b = int(os.environ.get("BENCH_BATCH", "8")) * n_chips
+
+    aot_result = _bench_from_aot(recipe, dtype_name, b, 2, n_chips)
+    if aot_result is not None:
+        return aot_result
+
+    # K optimizer steps per dispatch (the train loop's tpu.scan_steps mode,
+    # parity-tested in tests/test_train_step.py): amortizes the ~1 ms relay
+    # dispatch + host pytree plumbing. Default "auto": scan only when the
+    # scanned program is known-cached (cold compile ~150s vs ~15s).
+    scan_k = _resolve_scan_k(recipe, "BENCH_SCAN_K")
+    step, state, sharded, oc, oc_set, b, i, n_chips, dtype_name = _prepare_rcf(
+        recipe, scan_k)
 
     _log(f"compiling {recipe} train step on {n_chips} chip(s), batch {b}x{i} frames"
-         f" @ {hw}^2 (scan_steps={scan_k})")
+         f" @ 384^2 (scan_steps={scan_k})")
     t0 = time.perf_counter()
     lowered = step.lower(state, sharded, jax.random.PRNGKey(0), oc, object_channel_set=oc_set)
     compiled = lowered.compile()
@@ -282,39 +359,12 @@ def bench_rcf(recipe: str) -> dict:
 
     per_dispatch = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"]))
     per_step = per_dispatch / scan_k
-
-    fps_per_chip = b * i / per_step / n_chips
-    result = {
-        "metric": f"rcf_{recipe}_train_throughput_{dtype_name}",
-        "value": round(fps_per_chip, 2),
-        "unit": "frames/sec/chip",
-        "scan_steps": scan_k,
-    }
-    if flops_per_step:
-        achieved = flops_per_step / per_step / n_chips
-        result["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
-        peak = _peak_flops(dtype_name)
-        if peak:
-            result["mfu"] = round(achieved / peak, 3)
-    return result
+    return _result_dict(recipe, dtype_name, per_step, b, i, n_chips, scan_k,
+                        flops_per_step, aot=False)
 
 
-def bench_amd() -> dict:
-    """AMD baseline: PWC-Lite cost volumes + unFlow loss, full train step."""
-    jax = _configure_jax()
-    import jax.numpy as jnp
-
-    from rcf_tpu.config import Config
-    from rcf_tpu.models.amd import build_amd_model
-    from rcf_tpu.parallel import create_mesh, replicate, shard_batch
-    from rcf_tpu.train import create_train_state, make_train_step
-
-    n_chips = len(jax.devices())
-    mesh = create_mesh()
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    b, hw = 8 * n_chips, 384
-    mk = {
+def _amd_model_kwargs() -> dict:
+    return {
         "w_seg": 1.0, "mask_layer": 5,
         # A/B knob for the reference's dead whole-flow loss. Default ON:
         # measured FASTER with it (334 vs 401 ms/step — XLA overlaps its
@@ -333,7 +383,24 @@ def bench_amd() -> dict:
                          "dilation": 6, "dropout_ratio": 0.1, "num_classes": 5,
                          "concat_input": False},
     }
-    model = build_amd_model(mk, dtype=dtype)
+
+
+def _prepare_amd(scan_k: int, donate: bool | None = None):
+    jax = _configure_jax()
+    import jax.numpy as jnp
+
+    from rcf_tpu.config import Config
+    from rcf_tpu.models.amd import build_amd_model
+    from rcf_tpu.parallel import create_mesh, replicate, shard_batch
+    from rcf_tpu.train import create_train_state, make_train_step
+    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
+
+    n_chips = len(jax.devices())
+    mesh = create_mesh()
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    b, hw = int(os.environ.get("BENCH_BATCH", "8")) * n_chips, 384
+    model = build_amd_model(_amd_model_kwargs(), dtype=dtype)
     cfg = Config({
         "optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 1e-6,
         "epochs": 8, "lr_scheduler_kwargs": {"power": 0.9, "min_lr": 1e-6},
@@ -346,14 +413,8 @@ def bench_amd() -> dict:
         jnp.asarray(batch["imgs"][:2]), train=True,
     )
     state = replicate(create_train_state(cfg, model, variables, steps_per_epoch=100), mesh)
-    # Default scan_k=1 here: unlike the RCF recipes, scanning the AMD step
-    # measured SLOWER than per-step dispatch with donation (456 vs 349
-    # ms/step) — the dispatch tail it amortizes is already ~nil and the
-    # scanned program schedules the Pallas warp kernels worse.
-    scan_k = int(os.environ.get("BENCH_SCAN_K_AMD", "1"))
-    from rcf_tpu.train.step import make_scanned_train_step, stack_batches
-
-    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    if donate is None:
+        donate = os.environ.get("BENCH_DONATE", "1") == "1"
     if scan_k > 1:
         step = make_scanned_train_step(model, scan_k, donate=donate)
         sharded = stack_batches([batch] * scan_k, mesh)
@@ -361,8 +422,29 @@ def bench_amd() -> dict:
         step = make_train_step(model, donate=donate)
         sharded = shard_batch(batch, mesh)
     oc = jnp.zeros((), jnp.int32)
+    return step, state, sharded, oc, False, b, 2, n_chips, dtype_name
 
-    _log(f"compiling AMD train step on {n_chips} chip(s), batch {b}x2 @ {hw}^2"
+
+def bench_amd() -> dict:
+    """AMD baseline: PWC-Lite cost volumes + unFlow loss, full train step."""
+    jax = _configure_jax()
+
+    n_chips = len(jax.devices())
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    b = int(os.environ.get("BENCH_BATCH", "8")) * n_chips
+
+    aot_result = _bench_from_aot("amd", dtype_name, b, 2, n_chips)
+    if aot_result is not None:
+        return aot_result
+
+    # Default scan_k=1 here: unlike the RCF recipes, scanning the AMD step
+    # measured SLOWER than per-step dispatch with donation (456 vs 349
+    # ms/step) — the dispatch tail it amortizes is already ~nil and the
+    # scanned program schedules the Pallas warp kernels worse.
+    scan_k = int(os.environ.get("BENCH_SCAN_K_AMD", "1"))
+    step, state, sharded, oc, _, b, i, n_chips, dtype_name = _prepare_amd(scan_k)
+
+    _log(f"compiling AMD train step on {n_chips} chip(s), batch {b}x2 @ 384^2"
          f" (scan_steps={scan_k})")
     t0 = time.perf_counter()
     state, losses = step(state, sharded, jax.random.PRNGKey(0), oc)
@@ -374,20 +456,56 @@ def bench_amd() -> dict:
         return s, losses
 
     per_step = _measure_chain(step_call, state, lambda o: np.asarray(o["loss"])) / scan_k
-    return {
-        "metric": f"amd_train_throughput_{dtype_name}",
-        "value": round(b * 2 / per_step / n_chips, 2),
-        "unit": "frames/sec/chip",
-        "scan_steps": scan_k,
-    }
+    return _result_dict("amd", dtype_name, per_step, b, i, n_chips, scan_k,
+                        None, aot=False)
 
 
-def _run_recipe_subprocess(recipe: str, timeout_s: float) -> dict | None:
-    """Run one extra recipe in a subprocess (its compile can't hang us)."""
+def save_exe(recipe: str) -> None:
+    """Compile one recipe and serialize the executable into bench_cache/.
+
+    Run at builder-session end (`python bench.py --save-exe stage1` etc.) so
+    the driver's bench run deserializes instead of compiling. The scan_k
+    baked into the artifact is the throughput-optimal one (the compile cost
+    no longer matters on the load side).
+    """
+    jax = _configure_jax()
+
+    scan_k_env = os.environ.get("BENCH_SCAN_K", "auto")
+    # Inner step donate=False: donation happens at the flat-wrapper level
+    # inside compile_and_save (inlined inner-jit donations are dropped).
+    if recipe == "amd":
+        scan_k = 1 if scan_k_env == "auto" else int(scan_k_env)
+        step, state, sharded, oc, oc_set, b, i, n_chips, dtype_name = _prepare_amd(
+            scan_k, donate=False)
+    else:
+        # Scan-4 amortizes the ~1 ms relay dispatch; its 10x costlier
+        # compile is exactly what the AOT artifact exists to hide.
+        scan_k = 4 if scan_k_env == "auto" else int(scan_k_env)
+        step, state, sharded, oc, oc_set, b, i, n_chips, dtype_name = _prepare_rcf(
+            recipe, scan_k, donate=False)
+
+    _log(f"save-exe: compiling {recipe} (scan_steps={scan_k}) ...")
+    fp = bench_aot.fingerprint(recipe, dtype_name, b // n_chips)
+    example_args = (state, sharded, jax.random.PRNGKey(0), oc)
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    path, _ = bench_aot.compile_and_save(
+        recipe, step, example_args, oc_set, fp, scan_k, donate=donate)
+    # Smoke-test the artifact end to end in THIS process (deserialize,
+    # materialize zero args, one step) so a broken artifact never ships.
+    result = _bench_from_aot(recipe, dtype_name, b, i, n_chips)
+    if result is None:
+        raise RuntimeError(f"save-exe: round-trip check failed for {path}")
+    _log(f"save-exe: round-trip ok: {json.dumps(result)}")
+
+
+def _run_bench_subprocess(recipe: str, timeout_s: float,
+                          env_extra: dict | None = None) -> dict | None:
+    """Run one recipe in a subprocess (its compile can't hang us)."""
     try:
+        env = dict(os.environ, **(env_extra or {}))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--recipe", recipe],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -403,14 +521,38 @@ def _run_recipe_subprocess(recipe: str, timeout_s: float) -> dict | None:
     return None
 
 
+def _headline() -> dict:
+    """Measure stage-1 via timeout-guarded subprocess redraws.
+
+    Each attempt is an independent draw from the relay's compile/client-init
+    lottery (44-1278s observed for the same program); the AOT artifact makes
+    a draw ~seconds when present and valid. The parent holds NO TPU client
+    while attempts run (1-core host: contention roughly doubles both sides).
+    A final unbounded in-process attempt preserves round-3 behavior if every
+    draw fails.
+    """
+    attempts = int(os.environ.get("BENCH_HEADLINE_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "360"))
+    for k in range(attempts):
+        _log(f"headline attempt {k + 1}/{attempts} (timeout {timeout_s:.0f}s)")
+        result = _run_bench_subprocess("stage1", timeout_s)
+        if result is not None:
+            return result
+    _log("all headline subprocess attempts failed; final in-process attempt")
+    return bench_rcf("stage1")
+
+
 def main() -> None:
+    if "--save-exe" in sys.argv:
+        save_exe(sys.argv[sys.argv.index("--save-exe") + 1])
+        return
     if "--recipe" in sys.argv:
         recipe = sys.argv[sys.argv.index("--recipe") + 1]
         result = bench_amd() if recipe == "amd" else bench_rcf(recipe)
         print(json.dumps(result))
         return
 
-    result = bench_rcf("stage1")
+    result = _headline()
     result["vs_baseline"] = round(
         result["value"] / A100_BASELINE_FRAMES_PER_SEC_PER_GPU, 3)
     # Headline FIRST, flushed: if the driver's wall-clock budget expires
@@ -420,14 +562,6 @@ def main() -> None:
 
     got_extra = False
     if os.environ.get("BENCH_RECIPES", "all") == "all":
-        # Release this process's TPU client so the children don't contend
-        # with it through the relay (each child compiles its own program).
-        try:
-            import jax._src.xla_bridge as _xb
-
-            _xb._clear_backends()
-        except Exception:
-            pass
         per_extra = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "420"))
         # Extras budget starts AFTER the headline lands: the headline's own
         # compile is tunnel-load-dependent (observed 44-242s warm for the
@@ -447,7 +581,7 @@ def main() -> None:
             if remaining < 30:
                 _log(f"{recipe}: total budget exhausted; skipping")
                 continue
-            extra = _run_recipe_subprocess(recipe, min(per_extra, remaining))
+            extra = _run_bench_subprocess(recipe, min(per_extra, remaining))
             if extra:
                 result[field] = extra["value"]
                 got_extra = True
