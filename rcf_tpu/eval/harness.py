@@ -47,17 +47,35 @@ class EvalResult:
 
 @dataclass
 class Exporter:
-    """Writes eval visualizations + mask PNGs with the reference contract."""
+    """Writes eval visualizations + mask PNGs with the reference contract.
+
+    Multi-host: the eval loader is NOT process-sharded (every host sees the
+    full split so metrics/election stay global), so on a shared filesystem
+    every host would write every PNG — duplicate work and a partial-write
+    race. Writes are sharded BY SEQUENCE across processes (stable crc32, so
+    one host owns a sequence's whole directory footprint); pass
+    ``process_index``/``process_count`` from ``jax``.
+    """
 
     save_dir_eval: str
     save_dir_export: str
     export_all_seg: bool = False
     object_channel: int | None = None
     train_iter: int = 0
+    process_index: int = 0
+    process_count: int = 1
+    written: list = field(default_factory=list)
 
     def __post_init__(self):
         os.makedirs(self.save_dir_eval, exist_ok=True)
         os.makedirs(self.save_dir_export, exist_ok=True)
+
+    def owns(self, seq: str) -> bool:
+        if self.process_count <= 1:
+            return True
+        import zlib
+
+        return zlib.crc32(seq.encode()) % self.process_count == self.process_index
 
     def export_batch(self, probs_2x: np.ndarray, seq_names, frame_ids) -> None:
         """probs_2x: [B, H2, W2, C] masks already at 2x mask resolution."""
@@ -68,9 +86,12 @@ class Exporter:
             subdir = os.path.join(self.save_dir_export, str(ch)) if self.export_all_seg else self.save_dir_export
             os.makedirs(subdir, exist_ok=True)
             for bi, (seq, frame) in enumerate(zip(seq_names, frame_ids)):
+                if not self.owns(seq):
+                    continue
                 arr = np.clip(probs_2x[bi, :, :, ch] * 255.0, 0, 255).astype(np.uint8)
                 name = f"pred_seg_{seq}_{frame}_{self.train_iter:07}.png"
                 Image.fromarray(arr).save(os.path.join(subdir, name))
+                self.written.append(name if not self.export_all_seg else f"{ch}/{name}")
 
 
 @dataclass

@@ -101,6 +101,10 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
              exporter=None, display_all=False, name="val_miou", save_vis_dir=None,
              mesh=None):
     multiprocess = jax.process_count() > 1
+    # Batch-level visualizations are cheap (one PNG per batch): process 0
+    # writes them; mask export inside Exporter is sharded by sequence.
+    if multiprocess and jax.process_index() != 0:
+        save_vis_dir = None
     from ..parallel.mesh import batch_sharding, replicated
 
     # Multi-host: probs are all-gathered on device (replicated output) so
@@ -160,14 +164,17 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
 def run(cfg, test_only: bool = False, no_test: bool = False):
     ckpt_dir = cfg.checkpoints_dir
     os.makedirs(ckpt_dir, exist_ok=bool(cfg.get("allow_overwriting_checkpoints_dir", True)))
-    # Reproducibility: persist the fully resolved config (utils.dump_args parity).
-    try:
-        import yaml
+    # Reproducibility: persist the fully resolved config (utils.dump_args
+    # parity). Process 0 only — on a shared filesystem every host writing
+    # the same path is a partial-write race.
+    if jax.process_index() == 0:
+        try:
+            import yaml
 
-        with open(os.path.join(ckpt_dir, "config_resolved.yaml"), "w") as f:
-            yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
-    except Exception as exc:
-        logger.warning(f"could not dump resolved config: {exc}")
+            with open(os.path.join(ckpt_dir, "config_resolved.yaml"), "w") as f:
+                yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
+        except Exception as exc:
+            logger.warning(f"could not dump resolved config: {exc}")
     save_eval = os.path.join(ckpt_dir, cfg.get("saved_eval_dir_name", "saved_eval"))
     save_export = os.path.join(ckpt_dir, cfg.get("saved_eval_export_dir_name", "saved_eval_export"))
 
@@ -231,7 +238,9 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         if cfg.get("eval_save") and cfg.get("eval_export"):
             exporter = Exporter(save_eval, save_export,
                                 export_all_seg=bool(cfg.get("export_all_seg", False)),
-                                object_channel=object_channel or 0)
+                                object_channel=object_channel or 0,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, float(cfg.eval_pos_th),
                           object_channel, use_ema=eval_on_ema, exporter=exporter,
@@ -251,7 +260,18 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
             model, scan_k, donate=donate, crf_fn=_maybe_crf_fn(cfg, model))
     from .visualize import compose_train_grid, make_vis_step, save_train_grid
 
-    vis_step = make_vis_step(model) if cfg.get("model_cls", "RCFModel") == "RCFModel" else None
+    # The vis step is a collective program: EVERY process must run it (a
+    # process-0-only call would deadlock the mesh). Under multi-host its
+    # outputs are replicated so process 0 — the only writer — can read them.
+    multiprocess = jax.process_count() > 1
+    if multiprocess:
+        from ..parallel.mesh import replicated
+
+        vis_sharding = replicated(mesh)
+    else:
+        vis_sharding = None
+    vis_step = (make_vis_step(model, out_sharding=vis_sharding)
+                if cfg.get("model_cls", "RCFModel") == "RCFModel" else None)
     vis_interval = int(cfg.model_kwargs.get("log_interval", 50))
     train_vis_dir = os.path.join(ckpt_dir, "saved")
     keeper = TopKKeeper(ckpt_dir, k=2)
@@ -285,11 +305,13 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                     continue
                 stacked = stack_batches(scan_buf, mesh)
                 scan_buf = []
+                profiler.maybe_start(global_step)
                 state, losses = scan_step(state, stacked, base_rng, oc,
                                           object_channel_set=object_channel is not None)
                 losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
                 sharded = jax.tree_util.tree_map(lambda x: x[-1], stacked)
                 global_step += scan_k
+                profiler.maybe_stop(global_step)
             else:
                 sharded = shard_batch(arrays, mesh)
                 profiler.maybe_start(global_step)
@@ -308,13 +330,18 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
             if vis_step is not None and global_step % vis_interval == 0:
                 try:
                     probs_v, flows_v = vis_step(state, sharded, rng, oc)
-                    grid = compose_train_grid(
-                        np.asarray(sharded["imgs"]), np.asarray(probs_v),
-                        jax.tree_util.tree_map(np.asarray, flows_v),
-                        batch.get("pl_masks"),
-                    )
-                    frame_id = os.path.splitext(os.path.basename(batch["paths"][0][0]))[0]
-                    save_train_grid(train_vis_dir, global_step, batch["seq_names"][0], frame_id, grid)
+                    # Grid composition + write: process 0 only (every host
+                    # writing the same filename on a shared filesystem is a
+                    # partial-write race). `arrays["imgs"]` is this host's
+                    # local slice; its row 0 IS global row 0 on process 0.
+                    if jax.process_index() == 0:
+                        grid = compose_train_grid(
+                            np.asarray(arrays["imgs"]), np.asarray(probs_v),
+                            jax.tree_util.tree_map(np.asarray, flows_v),
+                            batch.get("pl_masks"),
+                        )
+                        frame_id = os.path.splitext(os.path.basename(batch["paths"][0][0]))[0]
+                        save_train_grid(train_vis_dir, global_step, batch["seq_names"][0], frame_id, grid)
                 except Exception as exc:  # parity: saving failures only warn
                     logger.warning(f"train visualization failed: {exc}")
         # Flush the epoch's scan remainder (< scan_k batches) through the
@@ -352,7 +379,9 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         if cfg.get("eval_save") and cfg.get("eval_export"):
             exporter = Exporter(os.path.join(ckpt_dir, "saved_eval_test"), save_export,
                                 export_all_seg=bool(cfg.get("export_all_seg", False)),
-                                object_channel=object_channel or 0)
+                                object_channel=object_channel or 0,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
         test_loader = _build_loaders(cfg, training=False)
         result = evaluate(cfg, model, state, test_loader, -1.0, object_channel,
                           use_ema=eval_on_ema, exporter=exporter, display_all=True,

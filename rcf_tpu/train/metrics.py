@@ -38,7 +38,9 @@ class StepProfiler:
         self._active = False
 
     def maybe_start(self, step: int) -> None:
-        if self.profile_dir and not self._active and step == self.start:
+        # Window test (not equality): scan mode advances global_step by
+        # scan_k per dispatch and may never land exactly on `start`.
+        if self.profile_dir and not self._active and self.start <= step < self.stop:
             import jax
 
             os.makedirs(self.profile_dir, exist_ok=True)

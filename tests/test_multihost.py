@@ -31,9 +31,10 @@ def test_two_process_train_step(tmp_path, davis_like):
     worker = os.path.join(repo, "tests", "_multihost_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    shared = tmp_path / "artifacts"
     procs = [
         subprocess.Popen([sys.executable, worker, coord, str(pid), "2",
-                          str(davis_like)],
+                          str(davis_like), str(shared)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, cwd=repo, env=env)
         for pid in range(2)
@@ -44,7 +45,7 @@ def test_two_process_train_step(tmp_path, davis_like):
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
 
-    losses, evals = {}, {}
+    losses, evals, vis_counts, exported = {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
@@ -53,6 +54,13 @@ def test_two_process_train_step(tmp_path, davis_like):
             elif line.startswith("MULTIHOST_EVAL"):
                 _, pid, miou, chan = line.split()
                 evals[int(pid)] = (float(miou), int(chan))
+            elif line.startswith("MULTIHOST_VIS"):
+                _, pid, n = line.split()
+                vis_counts[int(pid)] = int(n)
+            elif line.startswith("MULTIHOST_EXPORT"):
+                parts = line.split(" ", 2)
+                names = parts[2].split(",") if len(parts) > 2 and parts[2] else []
+                exported[int(parts[1])] = set(names)
     assert set(losses) == {0, 1}, outs
     # Both processes observe the same global loss.
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
@@ -61,6 +69,17 @@ def test_two_process_train_step(tmp_path, davis_like):
     assert set(evals) == {0, 1}, outs
     assert evals[0][0] == pytest.approx(evals[1][0], rel=1e-6)
     assert evals[0][1] == evals[1][1]
+
+    # Artifact-write gating (VERDICT r3 item 5): exactly ONE writer per file.
+    # Batch visualizations: process 0 only.
+    assert vis_counts.get(0, 0) > 0 and vis_counts.get(1, 0) == 0, vis_counts
+    # Mask export: sharded by sequence — no file written twice, and the
+    # union matches exactly what landed on the shared filesystem. (Both
+    # fixture sequences happen to crc32-hash to process 1; ownership
+    # balance is not the contract, single-writer-per-file is.)
+    assert not (exported[0] & exported[1]), exported
+    on_disk = {p.name for p in (shared / "export").glob("*.png")}
+    assert (exported[0] | exported[1]) == on_disk and on_disk, exported
 
     # Single-process reference on the SAME global batch (8 virtual devices).
     ref = subprocess.run(
