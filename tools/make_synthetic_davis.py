@@ -90,6 +90,187 @@ def make_sequence(root: str, seq: str, n_frames: int, h: int, w: int,
         prev = (img, mask, yx)
 
 
+# --------------------------------------------------------------------------
+# "hard" level (VERDICT r3 item 4): the easy generator saturates stage 1 at
+# ~95 mIoU, leaving no measurable headroom for the stage-2 CRF/PL machinery
+# (the reference's own stage gains are 78.9 -> 80.9 -> 83.0, README.md:62).
+# Hard sequences add, with exact analytic GT flow throughout:
+#   * an affine CAMERA (pan + slight zoom + rotation) -> non-constant
+#     background flow that the model's affine background fit must absorb;
+#   * affine OBJECT motion (rotation / anisotropic "breathing" deformation
+#     on top of translation) -> non-constant object flow;
+#   * THIN structures (elongated bars) and low fg/bg contrast;
+#   * a foreground OCCLUDER strip that moves with the camera and partially
+#     hides the object (occluded pixels carry background flow and are
+#     excluded from the GT mask).
+# All motions stay piecewise-AFFINE, which is exactly the model family of
+# the relaxed common-fate loss (flow_aggregation head fits an affine flow
+# per channel) — learnable, but no longer trivial.
+# --------------------------------------------------------------------------
+
+
+def _affine3(mat2x3: np.ndarray) -> np.ndarray:
+    m = np.eye(3, dtype=np.float64)
+    m[:2] = mat2x3
+    return m
+
+
+def _affine_flow(m_prev: np.ndarray, m_next: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Flow x -> m_next(m_prev^-1(x)) - x on the pixel grid ([..., (u,v)])."""
+    t = _affine3(m_next) @ np.linalg.inv(_affine3(m_prev))
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    u = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] - xs
+    v = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] - ys
+    return np.stack([u, v], axis=-1).astype(np.float32)
+
+
+def _camera_mat(t: int, h: int, w: int, pan: np.ndarray, zoom_rate: float,
+                rot_rate: float, margin: int) -> np.ndarray:
+    """Texture->frame affine of the camera at time t (about frame center)."""
+    cx, cy = w / 2.0, h / 2.0
+    s = (1.0 + zoom_rate) ** t
+    a = rot_rate * t
+    ca, sa = np.cos(a) * s, np.sin(a) * s
+    # frame = R_s @ (tex - tex_center_at_t) + frame_center
+    tx = margin + cx + pan[1] * t
+    ty = margin + cy + pan[0] * t
+    return np.array([[ca, -sa, cx - (ca * tx - sa * ty)],
+                     [sa, ca, cy - (sa * tx + ca * ty)]], np.float64)
+
+
+def _object_mat(t: int, c0: np.ndarray, vel: np.ndarray, rot_rate: float,
+                sx: float, sy: float, breath_amp: float, breath_rate: float,
+                patch: int) -> np.ndarray:
+    """Object-patch->frame affine at time t (anisotropic scale + rotation)."""
+    a = rot_rate * t
+    bx = sx * (1.0 + breath_amp * np.sin(breath_rate * t))
+    by = sy * (1.0 + breath_amp * np.cos(breath_rate * t))
+    ca, sa = np.cos(a), np.sin(a)
+    cy, cx = c0[0] + vel[0] * t, c0[1] + vel[1] * t
+    half = patch / 2.0
+    rs = np.array([[ca * bx, -sa * by], [sa * bx, ca * by]])
+    off = np.array([cx, cy]) - rs @ np.array([half, half])
+    return np.array([[rs[0, 0], rs[0, 1], off[0]], [rs[1, 0], rs[1, 1], off[1]]],
+                    np.float64)
+
+
+def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
+                       w: int, rng: np.random.Generator) -> None:
+    import cv2
+
+    dirs = {k: os.path.join(root, k, "480p", seq) for k in
+            ("JPEGImages", "Annotations", "Flows_NewCT", "BackwardFlows_NewCT")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    # Camera: pan fast enough to matter, zoom/rotate slightly (affine bg).
+    margin = 160
+    pan = rng.uniform(-3.0, 3.0, 2)
+    zoom_rate = rng.uniform(-0.0025, 0.0025)
+    cam_rot = rng.uniform(-0.0025, 0.0025)
+    bg_base = rng.uniform(60, 140, 3)
+    bg_tex = _texture(rng, h + 2 * margin, w + 2 * margin, bg_base)
+    # Sharper detail so the background is not trivially smooth.
+    bg_tex = np.clip(
+        bg_tex + rng.standard_normal(bg_tex.shape) * 12.0, 0, 255)
+
+    # Object: LOW contrast vs background (hard appearance), affine motion.
+    patch = 288
+    # Moderate contrast: visible appearance boundary (the CRF machinery
+    # needs edges to latch onto) but far from the easy generator's
+    # bright-on-dark separation.
+    fg_base = np.clip(bg_base + rng.uniform(45, 80, 3) * rng.choice([-1, 1], 3), 0, 255)
+    fg_tex = _texture(rng, patch, patch, fg_base)
+    fg_tex = np.clip(fg_tex + rng.standard_normal(fg_tex.shape) * 10.0, 0, 255)
+    yy, xx = np.mgrid[0:patch, 0:patch].astype(np.float32)
+    cyx = (patch - 1) / 2.0
+    if kind == "thin_bar":
+        alpha = ((np.abs(yy - cyx) < patch * 0.045)
+                 & (np.abs(xx - cyx) < patch * 0.49)).astype(np.float32)
+        obj_rot = rng.uniform(0.02, 0.05) * rng.choice([-1, 1])
+        sx = sy = rng.uniform(0.9, 1.3)
+        breath_amp = 0.0
+    elif kind == "breathing":
+        rr = ((yy - cyx) / (patch * 0.40)) ** 2 + ((xx - cyx) / (patch * 0.30)) ** 2
+        alpha = (rr < 1.0).astype(np.float32)
+        obj_rot = rng.uniform(-0.01, 0.01)
+        sx, sy = rng.uniform(0.7, 1.0), rng.uniform(0.7, 1.0)
+        breath_amp = rng.uniform(0.10, 0.18)
+    else:  # rotating ellipse
+        rr = ((yy - cyx) / (patch * 0.38)) ** 2 + ((xx - cyx) / (patch * 0.26)) ** 2
+        alpha = (rr < 1.0).astype(np.float32)
+        obj_rot = rng.uniform(0.03, 0.06) * rng.choice([-1, 1])
+        sx, sy = rng.uniform(0.8, 1.2), rng.uniform(0.8, 1.2)
+        breath_amp = 0.0
+    breath_rate = rng.uniform(0.25, 0.45)
+    # Object velocity in frame coords; y-range kept smaller so the full
+    # clip's travel fits the 480-px height with margins.
+    v_obj = np.array([rng.uniform(-2.0, 2.0), rng.uniform(-5.0, 5.0)])
+    # Keep the object center inside [margin_px, dim - margin_px] for the
+    # whole clip: both c0 and c0 + v*(n-1) must be in bounds.
+    travel = v_obj * (n_frames - 1)
+    dims = np.array([h, w], np.float64)
+    m_px = 130.0
+    lo = m_px - np.minimum(travel, 0.0)
+    hi = dims - m_px - np.maximum(travel, 0.0)
+    bad = lo >= hi  # too fast for the span: park it mid-frame
+    lo = np.where(bad, dims / 2 - 1, lo)
+    hi = np.where(bad, dims / 2 + 1, hi)
+    c0 = rng.uniform(lo, hi)
+
+    # Occluder: a textured vertical strip fixed to the SCENE (moves with the
+    # camera), in FRONT of the object.
+    occlude = kind in ("rot_ellipse", "thin_bar")
+    occ_x0 = int(rng.uniform(0.35, 0.6) * (w + 2 * margin))
+    occ_w = int(rng.uniform(0.035, 0.06) * w)
+    occ_tex = _texture(rng, h + 2 * margin, occ_w,
+                       np.clip(bg_base + rng.uniform(-35, 35, 3), 0, 255))
+    occ_alpha_tex = np.zeros((h + 2 * margin, w + 2 * margin), np.float32)
+    occ_full = np.zeros((h + 2 * margin, w + 2 * margin, 3), np.float32)
+    if occlude:
+        occ_alpha_tex[:, occ_x0:occ_x0 + occ_w] = 1.0
+        occ_full[:, occ_x0:occ_x0 + occ_w] = occ_tex
+
+    def render(t: int):
+        m_cam = _camera_mat(t, h, w, pan, zoom_rate, cam_rot, margin)
+        m_obj = _object_mat(t, c0, v_obj, obj_rot, sx, sy, breath_amp,
+                            breath_rate, patch)
+        flags = cv2.INTER_LINEAR
+        bg = cv2.warpAffine(bg_tex, m_cam[:2].astype(np.float32), (w, h), flags=flags)
+        obj = cv2.warpAffine(fg_tex, m_obj[:2].astype(np.float32), (w, h), flags=flags)
+        a_obj = cv2.warpAffine(alpha, m_obj[:2].astype(np.float32), (w, h), flags=flags)
+        img = bg * (1 - a_obj[..., None]) + obj * a_obj[..., None]
+        a_occ = cv2.warpAffine(occ_alpha_tex, m_cam[:2].astype(np.float32), (w, h),
+                               flags=flags)
+        occ = cv2.warpAffine(occ_full, m_cam[:2].astype(np.float32), (w, h), flags=flags)
+        img = img * (1 - a_occ[..., None]) + occ * a_occ[..., None]
+        mask = ((a_obj > 0.5) & (a_occ <= 0.5)).astype(np.uint8) * 255
+        return img, mask, m_cam, m_obj
+
+    prev = None
+    for t in range(n_frames):
+        img, mask, m_cam, m_obj = render(t)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(dirs["JPEGImages"], f"{t:05d}.jpg"), quality=95)
+        Image.fromarray(mask).save(os.path.join(dirs["Annotations"], f"{t:05d}.png"))
+        if prev is not None:
+            p_mask, p_cam, p_obj = prev
+            fw = _affine_flow(p_cam, m_cam, h, w)
+            fw_obj = _affine_flow(p_obj, m_obj, h, w)
+            vis_prev = p_mask > 0
+            fw[vis_prev] = fw_obj[vis_prev]
+            bw = _affine_flow(m_cam, p_cam, h, w)
+            bw_obj = _affine_flow(m_obj, p_obj, h, w)
+            vis_now = mask > 0
+            bw[vis_now] = bw_obj[vis_now]
+            np.save(os.path.join(dirs["Flows_NewCT"], f"{t:05d}.npy"), fw)
+            np.save(os.path.join(dirs["BackwardFlows_NewCT"], f"{t:05d}.npy"), bw)
+        prev = (mask, m_cam, m_obj)
+
+
+HARD_KINDS = ("rot_ellipse", "thin_bar", "breathing")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -98,12 +279,20 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--level", choices=["easy", "hard"], default="easy",
+                    help="hard: affine camera, rotating/deforming/thin "
+                         "objects, partial occlusion (VERDICT r3 item 4)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     names = [f"seq{i}" for i in range(args.seqs)]
-    for s in names:
-        make_sequence(args.out, s, args.frames, args.height, args.width, rng)
+    for i, s in enumerate(names):
+        if args.level == "hard":
+            kind = HARD_KINDS[i % len(HARD_KINDS)]
+            make_hard_sequence(args.out, s, kind, args.frames, args.height,
+                               args.width, rng)
+        else:
+            make_sequence(args.out, s, args.frames, args.height, args.width, rng)
     frames = " ".join(f"{i:05d}.jpg" for i in range(args.frames))
     with open(os.path.join(args.out, "trainval.txt"), "w") as f:
         for s in names:
