@@ -86,13 +86,26 @@ def main() -> int:
     # slower on this tiny set: measured stage-1 test mIoU 21.9 @ 40
     # epochs with 16 vs 95.0 with 8.
     ap.add_argument("--global-batch", type=int, default=8)
+    ap.add_argument("--level", default="easy", choices=["easy", "hard"],
+                    help="synthetic content difficulty (make_synthetic_davis --level)")
+    ap.add_argument("--stage1-dir", default=None,
+                    help="reuse a stage-1 checkpoint dir from another work dir "
+                         "(A/B arms share one stage-1 train)")
+    ap.add_argument("--data-dir", dest="data_dir_override", default=None,
+                    help="reuse an existing <work>/data dir from another run")
+    ap.add_argument("--object-channel", type=int, default=None,
+                    help="skip MAA and use this elected channel (A/B arms reuse "
+                         "the shared stage-1 election)")
+    ap.add_argument("--crf-resolution", default=None,
+                    help="stage-2.1 in-training CRF grid override: e.g. 96, 192, "
+                         "or 'null' (full mask resolution) — the VERDICT r3 #3 A/B knob")
     args = ap.parse_args()
 
     work = os.path.abspath(args.work)
     os.makedirs(work, exist_ok=True)
     st = State(work)
     stages = args.stages.split(",")
-    data_dir = os.path.join(work, "data")
+    data_dir = args.data_dir_override or os.path.join(work, "data")
     data_root = os.path.join(data_dir, "data_davis")
     seq_names = ",".join(f"seq{i}" for i in range(args.seqs))
     common = {
@@ -104,9 +117,10 @@ def main() -> int:
 
     if "data" in stages and not os.path.exists(data_root):
         _run([sys.executable, "tools/make_synthetic_davis.py", "--out", data_root,
-              "--seqs", str(args.seqs), "--frames", str(args.frames)], check=True)
+              "--seqs", str(args.seqs), "--frames", str(args.frames),
+              "--level", args.level], check=True)
 
-    s1_dir = os.path.join(work, "stage1")
+    s1_dir = args.stage1_dir or os.path.join(work, "stage1")
     if "stage1" in stages:
         out = _cli("configs/rcf/rcf_stage1.yaml", {
             **common,
@@ -138,10 +152,12 @@ def main() -> int:
         st.set("object_channel", proc.returncode)
         print(f"[pipeline] MAA elected channel {proc.returncode}", flush=True)
 
+    if args.object_channel is not None:
+        st.set("object_channel", args.object_channel)
     ch = int(st.d.get("object_channel", 0))
     s21_dir = os.path.join(work, "stage21")
     if "stage21" in stages:
-        out = _cli("configs/rcf/rcf_stage2.1.yaml", {
+        opts = {
             **common,
             "checkpoints_dir": s21_dir,
             "pretrained_model": os.path.join(s1_dir, "last"),
@@ -149,7 +165,13 @@ def main() -> int:
             "epochs": args.epochs21,
             "loss_log_interval": 20,
             "trainer_kwargs.check_val_every_n_epoch": 2,
-        })
+        }
+        if args.crf_resolution is not None:
+            res = (None if args.crf_resolution == "null"
+                   else [int(args.crf_resolution)] * 2)
+            opts["model_kwargs.crf_head.resolution"] = res
+            st.set("crf_resolution", args.crf_resolution)
+        out = _cli("configs/rcf/rcf_stage2.1.yaml", opts)
         st.set("stage21_miou", _last_miou(out))
 
     if "export_ema" in stages:
