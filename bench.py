@@ -201,13 +201,23 @@ def _result_dict(recipe: str, dtype_name: str, per_step: float, b: int, i: int,
     return result
 
 
+def _bench_fingerprint(recipe: str, dtype_name: str, batch_per_chip: int) -> dict:
+    fp = bench_aot.fingerprint(recipe, dtype_name, batch_per_chip)
+    if recipe == "amd":
+        # The whole-flow knob changes the compiled program; bake it into the
+        # identity so an artifact saved with one default can never silently
+        # shadow an A/B run with the other (BENCH_AMD_WHOLE).
+        fp["whole_flow"] = os.environ.get("BENCH_AMD_WHOLE", "0") == "1"
+    return fp
+
+
 def _bench_from_aot(recipe: str, dtype_name: str, b: int, i: int,
                     n_chips: int) -> dict | None:
     """Deserialize-and-load path: no relay-side compile at all."""
     if os.environ.get("BENCH_AOT", "1") != "1":
         return None
     loaded = bench_aot.load(
-        recipe, bench_aot.fingerprint(recipe, dtype_name, b // n_chips))
+        recipe, _bench_fingerprint(recipe, dtype_name, b // n_chips))
     if loaded is None:
         return None
     try:
@@ -366,13 +376,13 @@ def bench_rcf(recipe: str) -> dict:
 def _amd_model_kwargs() -> dict:
     return {
         "w_seg": 1.0, "mask_layer": 5,
-        # A/B knob for the reference's dead whole-flow loss. Default ON:
-        # measured FASTER with it (334 vs 401 ms/step — XLA overlaps its
-        # forward with the seg backward; see models/amd/amd_model.py).
-        # NOTE: that A/B was measured under the pre-round-2 resize_concat
-        # OS-mixed head; re-measure under the current stage-4 head with
-        # BENCH_AMD_WHOLE=0 before relying on the exact numbers.
-        "log_whole_flow_loss": os.environ.get("BENCH_AMD_WHOLE", "1") == "1",
+        # A/B knob for the reference's dead whole-flow loss. Default OFF
+        # (round 4): under the parity stage-4 OS8 head, dropping it is ~31%
+        # faster (339 vs 444-445 ms/step, sandwiched A/B). Under the old
+        # pre-parity resize_concat head the OPPOSITE held (334 vs 401
+        # ms/step — scheduling overlap), which is why this stayed ON until
+        # re-measured; see models/amd/amd_model.py and RESULTS.md round 4.
+        "log_whole_flow_loss": os.environ.get("BENCH_AMD_WHOLE", "0") == "1",
         # Reference AMD architecture (reference configs/amd/amd.yaml):
         # OS8 backbone with dilations [1,1,1,2], no contract_dilation, and
         # a single-input stage-4 mask head at 1/8 resolution.
@@ -485,7 +495,7 @@ def save_exe(recipe: str) -> None:
             recipe, scan_k, donate=False)
 
     _log(f"save-exe: compiling {recipe} (scan_steps={scan_k}) ...")
-    fp = bench_aot.fingerprint(recipe, dtype_name, b // n_chips)
+    fp = _bench_fingerprint(recipe, dtype_name, b // n_chips)
     example_args = (state, sharded, jax.random.PRNGKey(0), oc)
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
     path, _ = bench_aot.compile_and_save(

@@ -68,12 +68,15 @@ class AMDModel(nn.Module):
     # `flow_loss['whole']`, `amd_model.py:222,266` then uses only `['seg']`
     # and returns that scalar — the whole-loss never reaches the training
     # loss, a log, or a visualization (only the whole flow FIELD is
-    # visualized). It is dead compute in the reference, yet dropping it
-    # measured SLOWER on TPU: 334 ms/step with it vs 401 ms/step without
-    # (same-day A/B, bench.py BENCH_AMD_WHOLE) — with it present XLA
-    # overlaps its forward with the seg loss's backward; without it the
-    # schedule serializes. Default True (faster AND reference-shaped).
-    log_whole_flow_loss: bool = True
+    # visualized). It is dead compute in the reference, and whether dropping
+    # it helps is ARCHITECTURE-DEPENDENT scheduling luck: under the
+    # pre-parity resize_concat head it was faster kept (334 vs 401 ms/step,
+    # round 2 — XLA overlapped its forward with the seg backward), but under
+    # the reference-parity stage-4 OS8 head dropping it wins by ~31%
+    # (339 vs 444-445 ms/step, sandwiched A/B, round 4 — bench.py
+    # BENCH_AMD_WHOLE). Default False: it is dead compute; set True for
+    # reference-shaped per-step cost or to log the whole-flow loss value.
+    log_whole_flow_loss: bool = False
 
     def setup(self):
         self.backbone2 = ResNet(**self.backbone_cfg, dtype=self.dtype)
