@@ -25,11 +25,18 @@ from ..eval.harness import Evaluator, Exporter, frame_id_from_path
 from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
+from ..utils.watchdog import COMPILE_GRACE_S, Heartbeat
 from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint, save_checkpoint
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
 logger = get_logger()
+
+# Liveness beats for an external watchdog (utils/watchdog.py): the relay can
+# drop an RPC outright (observed: a checkpoint d2h frozen 28 min) and a hung
+# client wedges the host's single relay slot; only kill+retry recovers.
+# Rebound to <checkpoints_dir>/.heartbeat by run(); a no-op until then.
+_hb = Heartbeat(None)
 
 
 def _device_normalize(cfg) -> bool:
@@ -122,6 +129,10 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
     n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
     target_b = int(getattr(loader, "batch_size", 0)) or None
     for batch in loader:
+        # Compile-shaped grace on every eval beat: each new source-size
+        # bucket jit-compiles its own program mid-loop (relay compiles are
+        # 44-1278 s), and eval batches are otherwise seconds apart.
+        _hb.beat(COMPILE_GRACE_S)
         imgs_host = batch["imgs"][:, 0]  # [B, H, W, 3]
         b_real = imgs_host.shape[0]
         if mesh is not None:
@@ -164,6 +175,12 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
 def run(cfg, test_only: bool = False, no_test: bool = False):
     ckpt_dir = cfg.checkpoints_dir
     os.makedirs(ckpt_dir, exist_ok=bool(cfg.get("allow_overwriting_checkpoints_dir", True)))
+    # Liveness for the external watchdog. Single writer (process 0) like
+    # every other shared-filesystem artifact; the first beat carries the
+    # startup+first-compile grace.
+    global _hb
+    _hb = Heartbeat(ckpt_dir if jax.process_index() == 0 else None)
+    _hb.beat(COMPILE_GRACE_S)
     # Reproducibility: persist the fully resolved config (utils.dump_args
     # parity). Process 0 only — on a shared filesystem every host writing
     # the same path is a partial-write race.
@@ -290,6 +307,12 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     epochs = int(cfg.get("override_max_epochs", cfg.epochs))
 
     global_step = 0
+    # True whenever the NEXT train-step call may jit-compile (first call,
+    # and again when the object-channel flip changes the traced program):
+    # the step then blocks on a relay-side compile, so its preceding beat
+    # must carry the compile grace, not the steady-state one.
+    compile_pending = True
+    remainder_pending = scan_k > 1  # the per-step flush program compiles separately
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.time()
@@ -306,6 +329,8 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                 stacked = stack_batches(scan_buf, mesh)
                 scan_buf = []
                 profiler.maybe_start(global_step)
+                if compile_pending:
+                    _hb.beat(COMPILE_GRACE_S)
                 state, losses = scan_step(state, stacked, base_rng, oc,
                                           object_channel_set=object_channel is not None)
                 losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
@@ -315,10 +340,14 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
             else:
                 sharded = shard_batch(arrays, mesh)
                 profiler.maybe_start(global_step)
+                if compile_pending:
+                    _hb.beat(COMPILE_GRACE_S)
                 state, losses = train_step(state, sharded, rng, oc,
                                            object_channel_set=object_channel is not None)
                 global_step += 1
                 profiler.maybe_stop(global_step)
+            compile_pending = False
+            _hb.beat()
             if global_step % loss_log_interval == 0:
                 vals = {k: float(np.asarray(v)) for k, v in losses.items()}
                 if not np.isfinite(vals["loss"]):
@@ -351,9 +380,13 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
         for arrays in scan_buf:
             sharded = shard_batch(arrays, mesh)
             rng = jax.random.fold_in(base_rng, global_step)
+            if remainder_pending:
+                _hb.beat(COMPILE_GRACE_S)
             state, losses = train_step(state, sharded, rng, oc,
                                        object_channel_set=object_channel is not None)
             global_step += 1
+            remainder_pending = False
+            _hb.beat()
         scan_buf = []
         logger.info(f"epoch {epoch} done in {time.time() - epoch_t0:.1f}s")
 
@@ -364,14 +397,22 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                 object_channel = result.elected_channel
                 logger.info(f"Set object channel to {object_channel} "
                             f"(channel distribution: {result.max_channel_freq})")
+                # object_channel_set flips False->True: the next train-step
+                # call traces and compiles a new program.
+                compile_pending = True
+                remainder_pending = scan_k > 1
             metrics_log.log(epoch=epoch, val_miou=result.miou,
                             val_miou_frame_avg=result.miou_frame_avg,
                             object_channel=object_channel)
+            _hb.beat()  # checkpoint d2h is the observed hung-RPC site
             keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
+            _hb.beat()
         else:
             # Validation disabled this epoch: still checkpoint every epoch
             # (the reference's ModelCheckpoint runs regardless, main.py:434-436).
+            _hb.beat()
             save_checkpoint(ckpt_dir, "last", state)
+            _hb.beat()
 
     if not no_test:
         exporter = None

@@ -44,3 +44,22 @@ def test_scan_k_auto_prefers_cheap_compile(tmp_path, monkeypatch):
     with open(bench._warm_marker("stage1", 4), "w") as f:
         f.write("not-a-number")
     assert bench._resolve_scan_k("stage1", "BENCH_SCAN_K") == 1
+
+
+def test_amd_fingerprint_tracks_whole_flow_knob(monkeypatch):
+    """The BENCH_AMD_WHOLE knob changes the compiled program, so it must be
+    part of the AOT-artifact identity: an amd.jexe saved with one default
+    must never be loaded for an A/B arm running the other (bench.py
+    _bench_fingerprint). RCF recipes are knob-free and must not carry it."""
+    bench = _load_bench()
+
+    monkeypatch.delenv("BENCH_AMD_WHOLE", raising=False)
+    fp_off = bench._bench_fingerprint("amd", "bfloat16", 8)
+    assert fp_off["whole_flow"] is False  # round-4 default: dead compute off
+
+    monkeypatch.setenv("BENCH_AMD_WHOLE", "1")
+    fp_on = bench._bench_fingerprint("amd", "bfloat16", 8)
+    assert fp_on["whole_flow"] is True
+    assert fp_on != fp_off  # load() compares dicts: mismatch -> fallback
+
+    assert "whole_flow" not in bench._bench_fingerprint("stage1", "bfloat16", 8)

@@ -41,14 +41,40 @@ def _run(cmd, **kw):
 
 
 def _cli(config, opts, extra_flags=(), check=True):
+    """Run one CLI stage under the heartbeat watchdog, retrying once.
+
+    The relay can drop an RPC outright (observed: a checkpoint d2h frozen
+    28 min with zero I/O) and a hung client wedges the host's single relay
+    slot, so a stalled stage must be killed and re-run — waiting never
+    recovers it. Liveness comes from <checkpoints_dir>/.heartbeat, written
+    by the train/eval loop (rcf_tpu/utils/watchdog.py)."""
+    from rcf_tpu.utils.watchdog import supervise
+
     cmd = [sys.executable, "-m", "rcf_tpu.cli", config, *extra_flags, "--opts"]
     for k, v in opts.items():
         cmd += [k, json.dumps(v) if isinstance(v, (dict, list, bool)) or v is None else str(v)]
-    proc = _run(cmd, capture_output=True, text=True)
-    sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-    if check and proc.returncode != 0:
-        raise RuntimeError(f"{config} failed rc={proc.returncode}")
-    return proc.stdout + proc.stderr
+    ckpt_dir = str(opts.get("checkpoints_dir", "."))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    hb_path = os.path.join(ckpt_dir, ".heartbeat")
+    log_path = os.path.join(ckpt_dir, "stage_cli.log")
+    rc, stalled = None, True
+    for attempt in (1, 2):
+        print("[pipeline] $", " ".join(cmd), flush=True)
+        rc, stalled = supervise(cmd, hb_path, log_path, cwd=REPO)
+        if not stalled:
+            break
+        print(f"[pipeline] WATCHDOG: {config} heartbeat stalled — killed; "
+              f"{'retrying once' if attempt == 1 else 'giving up'}", flush=True)
+    output = ""
+    try:
+        with open(log_path) as f:
+            output = f.read()
+    except OSError:
+        pass
+    sys.stderr.write(output[-4000:])
+    if check and (stalled or rc != 0):
+        raise RuntimeError(f"{config} failed rc={rc} stalled={stalled}")
+    return output
 
 
 def _last_miou(output: str, name: str = "test_miou") -> float | None:
