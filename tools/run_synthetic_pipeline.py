@@ -31,6 +31,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # the watchdog import must work from any CWD
+    sys.path.insert(0, REPO)
 ALL_STAGES = ["data", "stage1", "export1", "maa", "stage21", "export_ema",
               "sc", "stage22", "davis_eval"]
 
@@ -216,6 +218,19 @@ def main() -> int:
                      "--export-dir-name", "saved_eval_export_trainval_ema"])
         if proc.returncode != 0:
             raise RuntimeError("semantic_constraints failed")
+        # PL IoU vs GT: the discriminating intermediate for stage-2 A/Bs —
+        # stage 2.2 trains against these masks, so its metric movement is
+        # bounded by how much better/worse they are than the stage-1 model.
+        proc = _run([sys.executable, "tools/pl_quality.py",
+                     "--pl-dir", os.path.join(
+                         s21_dir,
+                         f"saved_eval_export_trainval_ema_torchcrf_ncut_torchcrf/{ch}"),
+                     "--data-dir", data_root],
+                    capture_output=True, text=True)
+        try:
+            st.set("pl_iou", json.loads(proc.stdout.strip().splitlines()[-1]))
+        except (ValueError, IndexError):
+            print(f"[pipeline] pl_quality unparseable: {proc.stdout[-200:]}", flush=True)
 
     s22_dir = os.path.join(work, "stage22")
     if "stage22" in stages:
