@@ -119,6 +119,10 @@ def main() -> int:
     ap.add_argument("--stage1-dir", default=None,
                     help="reuse a stage-1 checkpoint dir from another work dir "
                          "(A/B arms share one stage-1 train)")
+    ap.add_argument("--stage21-dir", default=None,
+                    help="reuse a stage-2.1 checkpoint dir (incl. its sc PLs) "
+                         "from another work dir — e.g. a long stage-2.2 arm "
+                         "on top of an existing base run")
     ap.add_argument("--data-dir", dest="data_dir_override", default=None,
                     help="reuse an existing <work>/data dir from another run")
     ap.add_argument("--object-channel", type=int, default=None,
@@ -183,7 +187,7 @@ def main() -> int:
     if args.object_channel is not None:
         st.set("object_channel", args.object_channel)
     ch = int(st.d.get("object_channel", 0))
-    s21_dir = os.path.join(work, "stage21")
+    s21_dir = args.stage21_dir or os.path.join(work, "stage21")
     if "stage21" in stages:
         opts = {
             **common,
