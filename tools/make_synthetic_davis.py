@@ -190,6 +190,26 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
         obj_rot = rng.uniform(0.02, 0.05) * rng.choice([-1, 1])
         sx = sy = rng.uniform(0.9, 1.3)
         breath_amp = 0.0
+    elif kind == "star":
+        # Spoked star: a small central disk plus K thin radial arms (~7 px
+        # wide at the tip). At the 96^2 mask grid a 480p 7-px arm is ~1.4 px
+        # — structurally unresolvable for the mask head, while full-res CRF
+        # machinery CAN latch onto the arm edges: the de-saturating content
+        # VERDICT r3 #4 asks for, and exactly where the in-training CRF grid
+        # resolution (#3) should discriminate.
+        k_arms = int(rng.integers(10, 14))
+        r = np.hypot(yy - cyx, xx - cyx)
+        th = np.arctan2(yy - cyx, xx - cyx)
+        phase = rng.uniform(0, 2 * np.pi)
+        # distance (rad) to the nearest arm direction
+        d_arm = np.abs(((th - phase) * k_arms + np.pi) % (2 * np.pi) - np.pi) / k_arms
+        r_in, r_out = patch * 0.06, patch * 0.48
+        half_w_px = rng.uniform(2.5, 3.5)  # arm half-width in pixels
+        arm = (d_arm * np.maximum(r, 1.0) < half_w_px) & (r < r_out)
+        alpha = (arm | (r < r_in)).astype(np.float32)
+        obj_rot = rng.uniform(0.02, 0.04) * rng.choice([-1, 1])
+        sx = sy = 1.0
+        breath_amp = 0.0
     elif kind == "breathing":
         rr = ((yy - cyx) / (patch * 0.40)) ** 2 + ((xx - cyx) / (patch * 0.30)) ** 2
         alpha = (rr < 1.0).astype(np.float32)
@@ -269,6 +289,11 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
 
 
 HARD_KINDS = ("rot_ellipse", "thin_bar", "breathing")
+# "harder": the eval sequence (the LAST seq is the val split) is a star —
+# measured stage-1 on `hard` still reached 91.55 test mIoU because the val
+# sequence cycled to `breathing`, the easiest kind, and all hard shapes are
+# resolvable at the 96^2 mask grid. Stars are not.
+HARDER_KINDS = ("thin_bar", "rot_ellipse", "star")
 
 
 def main() -> None:
@@ -279,16 +304,20 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--level", choices=["easy", "hard"], default="easy",
+    ap.add_argument("--level", choices=["easy", "hard", "harder"], default="easy",
                     help="hard: affine camera, rotating/deforming/thin "
-                         "objects, partial occlusion (VERDICT r3 item 4)")
+                         "objects, partial occlusion (VERDICT r3 item 4); "
+                         "harder: same but with thin-spoked stars and the "
+                         "val sequence a star (unresolvable at the 96^2 "
+                         "mask grid)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     names = [f"seq{i}" for i in range(args.seqs)]
     for i, s in enumerate(names):
-        if args.level == "hard":
-            kind = HARD_KINDS[i % len(HARD_KINDS)]
+        if args.level in ("hard", "harder"):
+            kinds = HARD_KINDS if args.level == "hard" else HARDER_KINDS
+            kind = kinds[i % len(kinds)]
             make_hard_sequence(args.out, s, kind, args.frames, args.height,
                                args.width, rng)
         else:
