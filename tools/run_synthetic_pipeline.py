@@ -114,7 +114,7 @@ def main() -> int:
     # slower on this tiny set: measured stage-1 test mIoU 21.9 @ 40
     # epochs with 16 vs 95.0 with 8.
     ap.add_argument("--global-batch", type=int, default=8)
-    ap.add_argument("--level", default="easy", choices=["easy", "hard"],
+    ap.add_argument("--level", default="easy", choices=["easy", "hard", "harder"],
                     help="synthetic content difficulty (make_synthetic_davis --level)")
     ap.add_argument("--stage1-dir", default=None,
                     help="reuse a stage-1 checkpoint dir from another work dir "
