@@ -155,7 +155,8 @@ def _object_mat(t: int, c0: np.ndarray, vel: np.ndarray, rot_rate: float,
 
 
 def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
-                       w: int, rng: np.random.Generator) -> None:
+                       w: int, rng: np.random.Generator,
+                       star_halfw: tuple[float, float] = (2.5, 3.5)) -> None:
     import cv2
 
     dirs = {k: os.path.join(root, k, "480p", seq) for k in
@@ -204,7 +205,7 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
         # distance (rad) to the nearest arm direction
         d_arm = np.abs(((th - phase) * k_arms + np.pi) % (2 * np.pi) - np.pi) / k_arms
         r_in, r_out = patch * 0.06, patch * 0.48
-        half_w_px = rng.uniform(2.5, 3.5)  # arm half-width in pixels
+        half_w_px = rng.uniform(*star_halfw)  # arm half-width in pixels
         arm = (d_arm * np.maximum(r, 1.0) < half_w_px) & (r < r_out)
         alpha = (arm | (r < r_in)).astype(np.float32)
         obj_rot = rng.uniform(0.02, 0.04) * rng.choice([-1, 1])
@@ -304,6 +305,11 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--star-halfw", type=float, nargs=2, default=[2.5, 3.5],
+                    metavar=("MIN", "MAX"),
+                    help="star arm half-width range in px (difficulty dial: "
+                         "wider arms raise the 96^2-grid representability "
+                         "ceiling and make stage-1 less hopeless)")
     ap.add_argument("--level", choices=["easy", "hard", "harder"], default="easy",
                     help="hard: affine camera, rotating/deforming/thin "
                          "objects, partial occlusion (VERDICT r3 item 4); "
@@ -319,7 +325,8 @@ def main() -> None:
             kinds = HARD_KINDS if args.level == "hard" else HARDER_KINDS
             kind = kinds[i % len(kinds)]
             make_hard_sequence(args.out, s, kind, args.frames, args.height,
-                               args.width, rng)
+                               args.width, rng,
+                               star_halfw=tuple(args.star_halfw))
         else:
             make_sequence(args.out, s, args.frames, args.height, args.width, rng)
     frames = " ".join(f"{i:05d}.jpg" for i in range(args.frames))
