@@ -54,10 +54,10 @@ def test_masks_nonempty_every_frame(harder_set):
             assert (m > 0).mean() > 0.002, f"{seq} frame {t} almost empty"
 
 
-def test_star_val_sequence_unresolvable_at_mask_grid(harder_set):
-    """The harder level's point: the val sequence (a star) must lose
-    structure through the mask-grid downsample while the non-star
-    sequences survive it — that's what de-saturates stage 1."""
+def test_star_val_sequence_thinnest_at_mask_grid(harder_set):
+    """The val sequence (a sun: disk + thin spokes) must lose the most
+    structure through the mask-grid downsample — its spokes are the
+    grid-resolution-discriminating content for the CRF A/B."""
     def roundtrip_iou(seq):
         m = np.asarray(Image.open(os.path.join(
             harder_set, "Annotations", "480p", seq, "00002.png"))) > 127
@@ -69,8 +69,30 @@ def test_star_val_sequence_unresolvable_at_mask_grid(harder_set):
 
     star = roundtrip_iou("seq2")
     others = min(roundtrip_iou("seq0"), roundtrip_iou("seq1"))
-    assert star < 0.9, f"star roundtrip {star:.3f} — not thin enough"
-    assert others > star + 0.05, f"star {star:.3f} vs others {others:.3f}"
+    assert star < 0.99, f"star roundtrip {star:.3f} — spokes missing?"
+    assert others > star, f"star {star:.3f} vs others {others:.3f}"
+
+
+def test_harder_flow_is_boundary_degraded(harder_set):
+    """harder's primary de-saturation lever: RAFT-like boundary smearing.
+    The flow must be BLENDED across the object edge (not piecewise-exact)
+    while interior and far-background flow stay distinct."""
+    seq = "seq1"
+    m = np.asarray(Image.open(os.path.join(
+        harder_set, "Annotations", "480p", seq, "00001.png"))) > 127
+    fw = np.load(os.path.join(harder_set, "Flows_NewCT", "480p", seq, "00002.npy"))
+    import scipy.ndimage as ndi
+
+    edge = ndi.binary_dilation(m, iterations=2) & ~ndi.binary_erosion(m, iterations=2)
+    inner = ndi.binary_erosion(m, iterations=12)
+    far = ~ndi.binary_dilation(m, iterations=25)
+    # smeared edge: within-band variation is a sizable fraction of the
+    # object/background flow contrast (piecewise-exact flow has ~0 here)
+    contrast = np.abs(fw[inner].mean(axis=0) - fw[far].mean(axis=0)).max()
+    band_std = fw[edge].std(axis=0).max()
+    assert band_std > 0.15 * contrast, (band_std, contrast)
+    # but the interior is still coherent common-fate signal
+    assert fw[inner].std(axis=0).max() < 0.35 * contrast
 
 
 def test_flow_matches_finite_difference(harder_set):

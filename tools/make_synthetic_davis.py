@@ -156,7 +156,8 @@ def _object_mat(t: int, c0: np.ndarray, vel: np.ndarray, rot_rate: float,
 
 def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
                        w: int, rng: np.random.Generator,
-                       star_halfw: tuple[float, float] = (2.5, 3.5)) -> None:
+                       star_halfw: tuple[float, float] = (2.5, 3.5),
+                       flow_blur: float = 0.0, flow_noise: float = 0.0) -> None:
     import cv2
 
     dirs = {k: os.path.join(root, k, "480p", seq) for k in
@@ -198,13 +199,13 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
         # machinery CAN latch onto the arm edges: the de-saturating content
         # VERDICT r3 #4 asks for, and exactly where the in-training CRF grid
         # resolution (#3) should discriminate.
-        k_arms = int(rng.integers(10, 14))
+        k_arms = int(rng.integers(8, 11))
         r = np.hypot(yy - cyx, xx - cyx)
         th = np.arctan2(yy - cyx, xx - cyx)
         phase = rng.uniform(0, 2 * np.pi)
         # distance (rad) to the nearest arm direction
         d_arm = np.abs(((th - phase) * k_arms + np.pi) % (2 * np.pi) - np.pi) / k_arms
-        r_in, r_out = patch * 0.06, patch * 0.48
+        r_in, r_out = patch * 0.22, patch * 0.48
         half_w_px = rng.uniform(*star_halfw)  # arm half-width in pixels
         arm = (d_arm * np.maximum(r, 1.0) < half_w_px) & (r < r_out)
         alpha = (arm | (r < r_in)).astype(np.float32)
@@ -268,6 +269,20 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
         mask = ((a_obj > 0.5) & (a_occ <= 0.5)).astype(np.uint8) * 255
         return img, mask, m_cam, m_obj
 
+    def degrade(flow: np.ndarray) -> np.ndarray:
+        """RAFT-like flow imperfections: boundary smearing (Gaussian blur of
+        the piecewise-affine field bleeds object/background flow across
+        ~sigma px of the true edge — the dominant real-flow failure mode the
+        reference's appearance-based stage-2 machinery exists to fix) plus
+        smooth low-frequency vector noise. GT annotations stay crisp."""
+        if flow_blur > 0:
+            flow = cv2.GaussianBlur(flow, (0, 0), flow_blur)
+        if flow_noise > 0:
+            n = rng.standard_normal((h // 32 + 2, w // 32 + 2, 2)).astype(np.float32)
+            n = cv2.resize(n, (w, h), interpolation=cv2.INTER_CUBIC)
+            flow = flow + n * flow_noise
+        return flow
+
     prev = None
     for t in range(n_frames):
         img, mask, m_cam, m_obj = render(t)
@@ -284,8 +299,8 @@ def make_hard_sequence(root: str, seq: str, kind: str, n_frames: int, h: int,
             bw_obj = _affine_flow(m_obj, p_obj, h, w)
             vis_now = mask > 0
             bw[vis_now] = bw_obj[vis_now]
-            np.save(os.path.join(dirs["Flows_NewCT"], f"{t:05d}.npy"), fw)
-            np.save(os.path.join(dirs["BackwardFlows_NewCT"], f"{t:05d}.npy"), bw)
+            np.save(os.path.join(dirs["Flows_NewCT"], f"{t:05d}.npy"), degrade(fw))
+            np.save(os.path.join(dirs["BackwardFlows_NewCT"], f"{t:05d}.npy"), degrade(bw))
         prev = (mask, m_cam, m_obj)
 
 
@@ -305,6 +320,13 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--flow-blur", type=float, default=None,
+                    help="Gaussian sigma (px) smearing the GT flow across "
+                         "object boundaries, simulating RAFT; default 0 "
+                         "(hard) / 6.0 (harder)")
+    ap.add_argument("--flow-noise", type=float, default=None,
+                    help="smooth low-frequency flow noise amplitude in px; "
+                         "default 0 (hard) / 0.5 (harder)")
     ap.add_argument("--star-halfw", type=float, nargs=2, default=[2.5, 3.5],
                     metavar=("MIN", "MAX"),
                     help="star arm half-width range in px (difficulty dial: "
@@ -324,9 +346,14 @@ def main() -> None:
         if args.level in ("hard", "harder"):
             kinds = HARD_KINDS if args.level == "hard" else HARDER_KINDS
             kind = kinds[i % len(kinds)]
+            blur = args.flow_blur if args.flow_blur is not None else (
+                6.0 if args.level == "harder" else 0.0)
+            noise = args.flow_noise if args.flow_noise is not None else (
+                0.5 if args.level == "harder" else 0.0)
             make_hard_sequence(args.out, s, kind, args.frames, args.height,
                                args.width, rng,
-                               star_halfw=tuple(args.star_halfw))
+                               star_halfw=tuple(args.star_halfw),
+                               flow_blur=blur, flow_noise=noise)
         else:
             make_sequence(args.out, s, args.frames, args.height, args.width, rng)
     frames = " ".join(f"{i:05d}.jpg" for i in range(args.frames))
