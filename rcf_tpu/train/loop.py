@@ -25,7 +25,7 @@ from ..eval.harness import Evaluator, Exporter, frame_id_from_path
 from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
-from ..utils.watchdog import COMPILE_GRACE_S, Heartbeat
+from ..utils.watchdog import CKPT_GRACE_S, COMPILE_GRACE_S, Heartbeat
 from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint, save_checkpoint
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
@@ -404,13 +404,14 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
             metrics_log.log(epoch=epoch, val_miou=result.miou,
                             val_miou_frame_avg=result.miou_frame_avg,
                             object_channel=object_channel)
-            _hb.beat()  # checkpoint d2h is the observed hung-RPC site
+            # checkpoint d2h is the observed hung-RPC site: tight grace
+            _hb.beat(CKPT_GRACE_S)
             keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
             _hb.beat()
         else:
             # Validation disabled this epoch: still checkpoint every epoch
             # (the reference's ModelCheckpoint runs regardless, main.py:434-436).
-            _hb.beat()
+            _hb.beat(CKPT_GRACE_S)
             save_checkpoint(ckpt_dir, "last", state)
             _hb.beat()
 

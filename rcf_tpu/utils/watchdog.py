@@ -42,6 +42,10 @@ DEFAULT_GRACE_S = 900.0
 # Grace for beats placed just before a compile-shaped wait: the relay
 # compiles server-side with observed 44-1278 s variance for one program.
 COMPILE_GRACE_S = 2400.0
+# Grace for the beat just before a checkpoint save: a healthy orbax save is
+# <60 s, and the save d2h is the RPC the relay drops most (observed three
+# times on 2026-08-20 alone) — a tight grace cuts each hit from 15 to 7 min.
+CKPT_GRACE_S = 420.0
 
 _HB_NAME = ".heartbeat"
 

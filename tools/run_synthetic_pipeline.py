@@ -60,13 +60,14 @@ def _cli(config, opts, extra_flags=(), check=True):
     hb_path = os.path.join(ckpt_dir, ".heartbeat")
     log_path = os.path.join(ckpt_dir, "stage_cli.log")
     rc, stalled = None, True
-    for attempt in (1, 2):
+    attempts = 3  # observed up to 2 stalls in one morning; a stage is ~minutes
+    for attempt in range(1, attempts + 1):
         print("[pipeline] $", " ".join(cmd), flush=True)
         rc, stalled = supervise(cmd, hb_path, log_path, cwd=REPO)
         if not stalled:
             break
         print(f"[pipeline] WATCHDOG: {config} heartbeat stalled — killed; "
-              f"{'retrying once' if attempt == 1 else 'giving up'}", flush=True)
+              f"{'retrying' if attempt < attempts else 'giving up'}", flush=True)
     output = ""
     try:
         with open(log_path) as f:
