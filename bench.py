@@ -542,7 +542,10 @@ def _headline() -> dict:
     draw fails.
     """
     attempts = int(os.environ.get("BENCH_HEADLINE_ATTEMPTS", "3"))
-    timeout_s = float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "360"))
+    # 480s covers the worst AOT-path draw observed so far: client init +
+    # deserialize 8s + first EXECUTE 282s (the relay's program-load lottery
+    # survives serialization; only the compile is gone) + measurement.
+    timeout_s = float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "480"))
     for k in range(attempts):
         _log(f"headline attempt {k + 1}/{attempts} (timeout {timeout_s:.0f}s)")
         result = _run_bench_subprocess("stage1", timeout_s)
