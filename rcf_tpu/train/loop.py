@@ -238,7 +238,26 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     state = create_train_state(cfg, model, variables, steps_per_epoch)
     if ema_override[0] is not None:
         state = state.replace(ema_params=ema_override[0], ema_stats=ema_override[1])
-    if restore_orbax_from is not None:
+    # Auto-resume: watchdog retries must make monotonic progress. The relay
+    # drops checkpoint-save d2h RPCs (observed 5x on 2026-08-20 alone), the
+    # supervisor kills the stage, and without resume every retry restarts at
+    # epoch 0 — a 40-epoch stage could then never pass its first save. orbax
+    # finalizes atomically (tmp-dir rename), so `last` is always complete.
+    # Takes precedence over pretrained_model when both exist: on a stage-2.x
+    # retry, <ckpt_dir>/last is further along than the stage-1 init.
+    # state.step counts optimizer steps (incl. scan and remainder flush), so
+    # step // steps_per_epoch is the exact completed-epoch count. Known
+    # resume deviations: loader RNG restarts, TopKKeeper forgets prior kept
+    # tags, and a not-yet-re-elected object channel waits for the next val.
+    start_epoch = 0
+    _last_dir = os.path.join(ckpt_dir, "last")
+    if (not test_only and bool(cfg.get("auto_resume", True))
+            and os.path.isdir(_last_dir)):
+        state = restore_checkpoint(_last_dir, state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        logger.info(f"auto-resume from {_last_dir}: step {int(state.step)}, "
+                    f"starting at epoch {start_epoch}")
+    elif restore_orbax_from is not None:
         state = restore_checkpoint(restore_orbax_from, state)
     state = replicate(state, mesh)
 
@@ -305,15 +324,21 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     set_after = int(cfg.get("set_object_channel_after_epoch", 1))
     val_every = int(cfg.get("trainer_kwargs", {}).get("check_val_every_n_epoch", 1)) if "trainer_kwargs" in cfg else 1
     epochs = int(cfg.get("override_max_epochs", cfg.epochs))
+    # Save cadence: every epoch is reference parity (Lightning ModelCheckpoint,
+    # main.py:434-436) and the default; the synthetic pipeline runner dials it
+    # down because each save is an independent draw of the relay's
+    # drop-the-d2h lottery. The final epoch always saves (`last` feeds the
+    # next pipeline stage).
+    ckpt_every = max(int(cfg.get("checkpoint_every_n_epochs", 1)), 1)
 
-    global_step = 0
+    global_step = start_epoch * steps_per_epoch
     # True whenever the NEXT train-step call may jit-compile (first call,
     # and again when the object-channel flip changes the traced program):
     # the step then blocks on a relay-side compile, so its preceding beat
     # must carry the compile grace, not the steady-state one.
     compile_pending = True
     remainder_pending = scan_k > 1  # the per-step flush program compiles separately
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.time()
         oc = jnp.asarray(object_channel if object_channel is not None else 0, jnp.int32)
@@ -404,12 +429,13 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
             metrics_log.log(epoch=epoch, val_miou=result.miou,
                             val_miou_frame_avg=result.miou_frame_avg,
                             object_channel=object_channel)
-            # checkpoint d2h is the observed hung-RPC site: tight grace
-            _hb.beat(CKPT_GRACE_S)
-            keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
-            _hb.beat()
-        else:
-            # Validation disabled this epoch: still checkpoint every epoch
+            if (epoch + 1) % ckpt_every == 0 or epoch == epochs - 1:
+                # checkpoint d2h is the observed hung-RPC site: tight grace
+                _hb.beat(CKPT_GRACE_S)
+                keeper.save(state, result.miou_frame_avg, tag=f"e{epoch}")
+                _hb.beat()
+        elif (epoch + 1) % ckpt_every == 0 or epoch == epochs - 1:
+            # Validation disabled this epoch: still checkpoint `last`
             # (the reference's ModelCheckpoint runs regardless, main.py:434-436).
             _hb.beat(CKPT_GRACE_S)
             save_checkpoint(ckpt_dir, "last", state)

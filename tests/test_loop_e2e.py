@@ -106,3 +106,32 @@ def test_scan_steps_remainder_batches_are_not_dropped(davis_like, tmp_path):
     cfg_d["model_kwargs"]["log_interval"] = 1000  # skip vis
     state = run(Config(cfg_d), test_only=False, no_test=True)
     assert int(state.step) == 2, f"expected 2 optimizer steps, got {int(state.step)}"
+
+
+@pytest.mark.slow
+def test_auto_resume_and_checkpoint_cadence(davis_like, tmp_path):
+    """Watchdog-retry contract: a re-run of the same checkpoints_dir resumes
+    from `last` (start epoch = state.step // steps_per_epoch) instead of
+    restarting at epoch 0, and checkpoint_every_n_epochs gates the per-epoch
+    save-lottery draws (final epoch always saves)."""
+    import json
+
+    ckpt = tmp_path / "ckpt"
+    cfg = _cfg(davis_like, ckpt)
+    cfg["checkpoint_every_n_epochs"] = 2
+    run(cfg, test_only=False, no_test=True)
+    # Cadence: epoch 0 skipped ((0+1) % 2 != 0, not final), epoch 1 saved.
+    tags = [e for e in os.listdir(ckpt) if e.startswith("ckpt_")]
+    assert tags and all(t.startswith("ckpt_e1_") for t in tags), tags
+    assert os.path.isdir(ckpt / "last")
+
+    # Resume: 2 more epochs. steps_per_epoch is 1 here (7 samples wrap-pad
+    # to one global batch), so a resumed run logs train steps {3, 4} while a
+    # from-scratch rerun would log {1, 2, 3, 4} again.
+    cfg2 = _cfg(davis_like, ckpt)
+    cfg2["checkpoint_every_n_epochs"] = 2
+    cfg2["epochs"] = 4
+    run(cfg2, test_only=False, no_test=True)
+    steps = [r["step"] for r in map(json.loads, open(ckpt / "metrics.jsonl"))
+             if "train_loss" in r]
+    assert steps == [1, 2, 3, 4], steps

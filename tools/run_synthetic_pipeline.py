@@ -163,6 +163,10 @@ def main() -> int:
             "loss_log_interval": 20,
             "trainer_kwargs.check_val_every_n_epoch": 5,
             "set_object_channel_after_epoch": 5,
+            # Each save is a draw of the relay's drop-the-d2h lottery (the
+            # watchdog's main trigger); with auto-resume a 5-epoch cadence
+            # bounds the per-retry loss to ~1 min of recompute.
+            "checkpoint_every_n_epochs": 5,
         })
         st.set("stage1_miou", _last_miou(out))
 
@@ -196,6 +200,7 @@ def main() -> int:
             "pretrained_model": os.path.join(s1_dir, "last"),
             "object_channel": ch,
             "epochs": args.epochs21,
+            "checkpoint_every_n_epochs": 3,
             "loss_log_interval": 20,
             "trainer_kwargs.check_val_every_n_epoch": 2,
         }
@@ -248,6 +253,7 @@ def main() -> int:
             "object_channel": ch,
             "train_dataset_kwargs.pl_root": pl_root,
             "epochs": args.epochs22,
+            "checkpoint_every_n_epochs": 3,
             "loss_log_interval": 20,
             "trainer_kwargs.check_val_every_n_epoch": 2,
         })
