@@ -25,7 +25,7 @@ from ..eval.harness import Evaluator, Exporter, frame_id_from_path
 from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
-from ..utils.watchdog import CKPT_GRACE_S, COMPILE_GRACE_S, Heartbeat
+from ..utils.watchdog import CKPT_GRACE_S, COMPILE_GRACE_S, DEFAULT_GRACE_S, Heartbeat
 from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint, save_checkpoint
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
@@ -128,11 +128,16 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
     )
     n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
     target_b = int(getattr(loader, "batch_size", 0)) or None
+    seen_sizes: set[tuple[int, int, int]] = set()
     for batch in loader:
-        # Compile-shaped grace on every eval beat: each new source-size
-        # bucket jit-compiles its own program mid-loop (relay compiles are
-        # 44-1278 s), and eval batches are otherwise seconds apart.
-        _hb.beat(COMPILE_GRACE_S)
+        # Compile-shaped grace only on the FIRST beat of each (padded-batch,
+        # source-size) bucket — that step may jit-compile mid-loop (relay
+        # compiles are 44-1278 s). Every later batch of the bucket runs a
+        # cached program in seconds, so its beat keeps the steady-state
+        # grace: a hung eval d2h is then detected in 15 min, not 40.
+        size_key = (len(batch["imgs"]),) + tuple(batch["imgs"].shape[-3:-1])
+        _hb.beat(COMPILE_GRACE_S if size_key not in seen_sizes else DEFAULT_GRACE_S)
+        seen_sizes.add(size_key)
         imgs_host = batch["imgs"][:, 0]  # [B, H, W, 3]
         b_real = imgs_host.shape[0]
         if mesh is not None:
