@@ -26,7 +26,8 @@ from ..models import build_from_config
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils import get_logger
 from ..utils.watchdog import CKPT_GRACE_S, COMPILE_GRACE_S, DEFAULT_GRACE_S, Heartbeat
-from .checkpoint import TopKKeeper, load_pretrained, restore_checkpoint, save_checkpoint
+from .checkpoint import (TopKKeeper, find_resumable, load_pretrained,
+                         restore_checkpoint, save_checkpoint)
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
@@ -37,6 +38,31 @@ logger = get_logger()
 # client wedges the host's single relay slot; only kill+retry recovers.
 # Rebound to <checkpoints_dir>/.heartbeat by run(); a no-op until then.
 _hb = Heartbeat(None)
+
+
+def _save_object_channel(ckpt_dir: str, channel: int, epoch: int) -> None:
+    """Persist the elected object channel so a watchdog retry restores it
+    (single writer: process 0, like every shared-filesystem artifact)."""
+    import json
+
+    path = os.path.join(ckpt_dir, "object_channel.json")
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"object_channel": int(channel), "elected_at_epoch": int(epoch)}, f)
+        os.replace(tmp, path)
+    except OSError as exc:
+        logger.warning(f"could not persist object channel: {exc}")
+
+
+def _load_object_channel(ckpt_dir: str) -> int | None:
+    import json
+
+    try:
+        with open(os.path.join(ckpt_dir, "object_channel.json")) as f:
+            return int(json.load(f)["object_channel"])
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _device_normalize(cfg) -> bool:
@@ -130,11 +156,15 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
     target_b = int(getattr(loader, "batch_size", 0)) or None
     seen_sizes: set[tuple[int, int, int]] = set()
     for batch in loader:
-        # Compile-shaped grace only on the FIRST beat of each (padded-batch,
+        # Compile-shaped grace only on the FIRST beat of each (raw-batch,
         # source-size) bucket — that step may jit-compile mid-loop (relay
-        # compiles are 44-1278 s). Every later batch of the bucket runs a
-        # cached program in seconds, so its beat keeps the steady-state
-        # grace: a hung eval d2h is then detected in 15 min, not 40.
+        # compiles are 44-1278 s). The compile itself is keyed on the PADDED
+        # batch size; keying beats on the raw size is strictly finer, so the
+        # only cost is an over-granted compile grace when a partial bucket
+        # reuses an already-cached padded program — conservative, never
+        # under-granted. Every later batch of the bucket runs a cached
+        # program in seconds, so its beat keeps the steady-state grace: a
+        # hung eval d2h is then detected in 15 min, not 40.
         size_key = (len(batch["imgs"]),) + tuple(batch["imgs"].shape[-3:-1])
         _hb.beat(COMPILE_GRACE_S if size_key not in seen_sizes else DEFAULT_GRACE_S)
         seen_sizes.add(size_key)
@@ -247,28 +277,41 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
     # drops checkpoint-save d2h RPCs (observed 5x on 2026-08-20 alone), the
     # supervisor kills the stage, and without resume every retry restarts at
     # epoch 0 — a 40-epoch stage could then never pass its first save. orbax
-    # finalizes atomically (tmp-dir rename), so `last` is always complete.
+    # finalizes atomically and `last` is rotated through last.tmp/last.prev
+    # (checkpoint.py), so find_resumable always has a complete checkpoint.
     # Takes precedence over pretrained_model when both exist: on a stage-2.x
     # retry, <ckpt_dir>/last is further along than the stage-1 init.
-    # state.step counts optimizer steps (incl. scan and remainder flush), so
+    # state.step counts optimizer steps (incl. scan and remainder flush) OF
+    # THIS STAGE ONLY (cross-stage init is weights-only), so
     # step // steps_per_epoch is the exact completed-epoch count. Known
-    # resume deviations: loader RNG restarts, TopKKeeper forgets prior kept
-    # tags, and a not-yet-re-elected object channel waits for the next val.
+    # resume deviation: the loader RNG restarts.
     start_epoch = 0
-    _last_dir = os.path.join(ckpt_dir, "last")
+    resumed = False
+    _resume_dir = find_resumable(ckpt_dir)
     if (not test_only and bool(cfg.get("auto_resume", True))
-            and os.path.isdir(_last_dir)):
-        state = restore_checkpoint(_last_dir, state)
+            and _resume_dir is not None):
+        state = restore_checkpoint(_resume_dir, state)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
-        logger.info(f"auto-resume from {_last_dir}: step {int(state.step)}, "
+        resumed = True
+        logger.info(f"auto-resume from {_resume_dir}: step {int(state.step)}, "
                     f"starting at epoch {start_epoch}")
     elif restore_orbax_from is not None:
-        state = restore_checkpoint(restore_orbax_from, state)
+        # Cross-stage init: weights only — step and opt_state stay fresh so
+        # the new stage's poly LR starts at its own base LR and watchdog
+        # retries derive epochs from this stage's own step count.
+        state = restore_checkpoint(restore_orbax_from, state, weights_only=True)
     state = replicate(state, mesh)
 
     object_channel = cfg.get("object_channel")
     if object_channel is None and os.environ.get("OBJECT_CHANNEL"):
         object_channel = int(os.environ["OBJECT_CHANNEL"])
+    if object_channel is None and resumed:
+        # A watchdog retry must not silently retrain pre-election (losses
+        # gated on object_channel_set would regress; ADVICE r4 #2): the
+        # election is persisted at election time and reloaded here.
+        object_channel = _load_object_channel(ckpt_dir)
+        if object_channel is not None:
+            logger.info(f"restored elected object channel {object_channel}")
     logger.info(f"Using {object_channel} as object channel")
 
     eval_on_ema = bool(cfg.get("eval_on_ema", False))
@@ -427,6 +470,8 @@ def run(cfg, test_only: bool = False, no_test: bool = False):
                 object_channel = result.elected_channel
                 logger.info(f"Set object channel to {object_channel} "
                             f"(channel distribution: {result.max_channel_freq})")
+                if jax.process_index() == 0:
+                    _save_object_channel(ckpt_dir, object_channel, epoch)
                 # object_channel_set flips False->True: the next train-step
                 # call traces and compiles a new program.
                 compile_pending = True
