@@ -573,7 +573,6 @@ def main() -> None:
     # artifact (round 2 printed it only at the end and lost everything).
     print(json.dumps(result), flush=True)
 
-    got_extra = False
     if os.environ.get("BENCH_RECIPES", "all") == "all":
         per_extra = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "420"))
         # Extras budget starts AFTER the headline lands: the headline's own
@@ -584,25 +583,36 @@ def main() -> None:
         # lottery (observed 1-10 min). Extras stay subprocesses because an
         # in-process compile cannot be interrupted (observed a 21-minute
         # "warm" stage21 compile): enforced child timeouts guarantee rc=0
-        # within ~headline+600s even when the tunnel is hostile, and the
+        # within ~headline+budget even when the tunnel is hostile, and the
         # already-printed headline makes a driver kill non-fatal anyway.
         budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "600"))
+        # AMD runs FIRST (round-5 flip): in BENCH_r04 stage21 landed but
+        # amd's single 420s draw lost the relay's program-load lottery
+        # (first-execute of a deserialized exe observed 17.5-282s). The
+        # first post-headline draw is the best one — the recipe with no
+        # driver-captured number yet gets it — and each extra may take up
+        # to BENCH_EXTRA_ATTEMPTS draws within the shared budget: two
+        # short redraws beat one long draw under that load variance.
+        order = os.environ.get("BENCH_EXTRA_ORDER", "amd,stage21").split(",")
+        fields = {"stage21": "stage21_frames_per_sec_per_chip",
+                  "amd": "amd_frames_per_sec_per_chip"}
+        extra_attempts = int(os.environ.get("BENCH_EXTRA_ATTEMPTS", "2"))
         t_extras = time.perf_counter()
-        for recipe, field in (("stage21", "stage21_frames_per_sec_per_chip"),
-                              ("amd", "amd_frames_per_sec_per_chip")):
-            remaining = budget - (time.perf_counter() - t_extras)
-            if remaining < 30:
-                _log(f"{recipe}: total budget exhausted; skipping")
-                continue
-            extra = _run_bench_subprocess(recipe, min(per_extra, remaining))
-            if extra:
-                result[field] = extra["value"]
-                got_extra = True
-
-    # Enriched line last only when extras landed — the driver parses the
-    # last `{`-line of stdout.
-    if got_extra:
-        print(json.dumps(result), flush=True)
+        for recipe in order:
+            for attempt in range(1, extra_attempts + 1):
+                remaining = budget - (time.perf_counter() - t_extras)
+                if remaining < 30:
+                    _log(f"{recipe}: total budget exhausted; skipping")
+                    break
+                _log(f"{recipe}: extra attempt {attempt}/{extra_attempts}")
+                extra = _run_bench_subprocess(recipe, min(per_extra, remaining))
+                if extra:
+                    result[fields.get(recipe, recipe)] = extra["value"]
+                    # Enrich immediately after EVERY landed extra (the
+                    # driver parses the LAST `{`-line): a budget kill
+                    # between extras then still keeps the earlier ones.
+                    print(json.dumps(result), flush=True)
+                    break
 
 
 if __name__ == "__main__":

@@ -210,11 +210,13 @@ def evaluate(cfg, model, state, loader, eval_pos_th, object_channel, use_ema=Fal
 def run(cfg, test_only: bool = False, no_test: bool = False):
     ckpt_dir = cfg.checkpoints_dir
     os.makedirs(ckpt_dir, exist_ok=bool(cfg.get("allow_overwriting_checkpoints_dir", True)))
-    # Liveness for the external watchdog. Single writer (process 0) like
-    # every other shared-filesystem artifact; the first beat carries the
-    # startup+first-compile grace.
+    # Liveness for the external watchdog. Every process writes its OWN beat
+    # file (.heartbeat for process 0, .heartbeat.h<i> for the rest) so a
+    # stall on any host is detected and attributed directly instead of
+    # waiting for process 0 to block on the next collective. The first beat
+    # carries the startup+first-compile grace.
     global _hb
-    _hb = Heartbeat(ckpt_dir if jax.process_index() == 0 else None)
+    _hb = Heartbeat(ckpt_dir, host=jax.process_index())
     _hb.beat(COMPILE_GRACE_S)
     # Reproducibility: persist the fully resolved config (utils.dump_args
     # parity). Process 0 only — on a shared filesystem every host writing

@@ -51,22 +51,43 @@ _HB_NAME = ".heartbeat"
 
 
 class Heartbeat:
-    """Writes liveness beats; a no-op when constructed with dir_path=None."""
+    """Writes liveness beats; a no-op when constructed with dir_path=None.
 
-    def __init__(self, dir_path: str | None, enabled: bool = True):
-        self.path = os.path.join(dir_path, _HB_NAME) if dir_path else None
+    Multi-host attribution (VERDICT r4 weak 5): process 0 writes
+    ``.heartbeat``; process i>0 writes ``.heartbeat.h<i>``. A stall on a
+    non-zero host (e.g. its own hung d2h in the replicated vis step) would
+    otherwise be invisible until process 0 blocked on the next collective —
+    detection still happened, but minutes later and attributed to the wrong
+    host. The monitor treats the run as stalled when ANY host file goes
+    silent past its grace; every beat site in the loop is a collective-path
+    point all processes pass through, so all-hosts-beating is an invariant.
+    """
+
+    def __init__(self, dir_path: str | None, enabled: bool = True, host: int = 0):
+        name = _HB_NAME if host == 0 else f"{_HB_NAME}.h{host}"
+        self.path = os.path.join(dir_path, name) if dir_path else None
         self.enabled = enabled and self.path is not None
 
     def beat(self, grace: float = DEFAULT_GRACE_S) -> None:
         if not self.enabled:
             return
         try:
-            tmp = self.path + ".tmp"
+            # "tmp_" prefix (not a ".tmp" suffix) keeps the rename scratch
+            # out of the monitor's `.heartbeat*` glob.
+            tmp = os.path.join(os.path.dirname(self.path),
+                               "tmp_" + os.path.basename(self.path))
             with open(tmp, "w") as f:
                 f.write(f"{grace:.1f}")
             os.replace(tmp, self.path)  # atomic: monitor never reads partial
         except OSError:
             pass  # liveness reporting must never take the run down
+
+
+def _all_heartbeat_files(hb_path: str) -> list[str]:
+    """hb_path plus any per-host siblings (.heartbeat.h1, ...)."""
+    import glob as globlib
+
+    return [hb_path] + sorted(globlib.glob(hb_path + ".h*"))
 
 
 def read_heartbeat(hb_path: str, not_before: float) -> tuple[float, float]:
@@ -84,9 +105,25 @@ def read_heartbeat(hb_path: str, not_before: float) -> tuple[float, float]:
 
 
 def is_stalled(hb_path: str, started_at: float, now: float | None = None) -> bool:
+    """Stalled = ANY host's beat file silent past its grace.
+
+    A host file that appeared (process i beat at least once this run) and
+    then went quiet is a stall on that host even while process 0 still
+    beats; files from a previous run are ignored by the mtime < started_at
+    check inside read_heartbeat (which then reports startup grace for the
+    main file — per-host files older than the run are simply skipped)."""
     now = time.time() if now is None else now
-    beat_t, grace = read_heartbeat(hb_path, started_at)
-    return now - beat_t > grace
+    for path in _all_heartbeat_files(hb_path):
+        if path != hb_path:
+            try:
+                if os.path.getmtime(path) < started_at:
+                    continue  # stale sibling from a previous run
+            except OSError:
+                continue
+        beat_t, grace = read_heartbeat(path, started_at)
+        if now - beat_t > grace:
+            return True
+    return False
 
 
 def supervise(cmd: list[str], hb_path: str, log_path: str, cwd: str | None = None,
