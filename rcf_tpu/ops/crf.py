@@ -134,11 +134,23 @@ class CRFParams:
     sxy_smooth: float = 0.0
     refine_iters: int = 50
     crf_scale: float = 0.7
+    # MAP-stability early-out: stop iterating once the MAP labeling is
+    # unchanged across an iteration (refine_iters stays the hard cap, so
+    # the worst case is exactly the reference's fixed 50). The consumed
+    # output is the MAP, and the mean field is contractive in practice:
+    # measured on real photographic crops + synthetic DAVIS frames the MAP
+    # stabilizes in ~3-7 iterations and the early-out output is IDENTICAL
+    # to the fixed-50 MAP (tools/validate_crf_stable_exit.py). Every
+    # iteration recomputes the exp of all N^2 attention logits on the VPU —
+    # the dominant stage-2.1 cost — so this is a large win. False restores
+    # the reference's fixed iteration count (torchcrf.cu:140).
+    stable_exit: bool = False
 
 
 def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
                     chunk: int = 1024, engine: str = "attention",
-                    xy_scale: tuple[float, float] = (1.0, 1.0)) -> jnp.ndarray:
+                    xy_scale: tuple[float, float] = (1.0, 1.0),
+                    return_iters: bool = False) -> jnp.ndarray:
     """One image: [H, W, 3] uint8 + [H, W] soft mask -> [H, W] binary MAP.
 
     Binary labels let the mean field track only the foreground channel: the
@@ -183,14 +195,35 @@ def crf_soft_single(rgb_u8: jnp.ndarray, mask: jnp.ndarray, params: CRFParams,
     du = unary[:, 0] - unary[:, 1]
     q1 = jax.nn.sigmoid(du)
 
-    def body(_, q1):
+    def one_iter(q1):
         logit = du + params.scomp * (2.0 * filt_app(q1) - 1.0)
         if use_smooth:
             logit = logit + params.scomp_smooth * (2.0 * filt_smooth(q1) - 1.0)
         return jax.nn.sigmoid(logit)
 
-    q1 = jax.lax.fori_loop(0, params.refine_iters, body, q1)
-    return (q1 > 0.5).astype(jnp.float32).reshape(h, w)
+    if params.stable_exit:
+        # Early-out once the MAP stops changing (see CRFParams.stable_exit).
+        # Under vmap the while_loop keeps iterating until every image in the
+        # batch has converged, freezing finished images at their own exit
+        # state via select — per-image semantics are preserved. The target
+        # path is stop-gradient, so the data-dependent trip count never
+        # meets autodiff.
+        def cond(carry):
+            it, _, stable = carry
+            return jnp.logical_and(it < params.refine_iters, jnp.logical_not(stable))
+
+        def body(carry):
+            it, q1, _ = carry
+            new_q1 = one_iter(q1)
+            stable = jnp.all((new_q1 > 0.5) == (q1 > 0.5))
+            return it + 1, new_q1, stable
+
+        iters, q1, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), q1, jnp.bool_(False)))
+    else:
+        q1 = jax.lax.fori_loop(0, params.refine_iters, lambda _, q: one_iter(q), q1)
+        iters = jnp.int32(params.refine_iters)
+    out = (q1 > 0.5).astype(jnp.float32).reshape(h, w)
+    return (out, iters) if return_iters else out
 
 
 def make_crf_fn(resolution: tuple[int, int] | None = None, chunk: int = 1024,

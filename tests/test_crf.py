@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -101,3 +102,61 @@ def test_unnormalize_roundtrip():
     imgs = (raw / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     back = np.asarray(unnormalize_to_uint8(jnp.asarray(imgs)))
     np.testing.assert_allclose(back[0].astype(np.float32), raw[0], atol=1.0)
+
+
+def test_stable_exit_matches_fixed_iterations():
+    """MAP-stability early-out (CRFParams.stable_exit): same MAP as the
+    fixed-count reference loop (torchcrf.cu:140 runs a fixed 50), in fewer
+    iterations, on structured content where the mean field converges."""
+    rng = np.random.default_rng(4)
+    h, w = 32, 32
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, : w // 2, 0] = 200
+    rgb[:, w // 2:, 2] = 200
+    mask = np.clip(np.where(np.arange(w)[None, :] < w // 2, 0.7, 0.0)
+                   + rng.normal(0, 0.25, (h, w)), 0, 1).astype(np.float32)
+    fixed = np.asarray(crf_soft_single(
+        jnp.asarray(rgb), jnp.asarray(mask), CRFParams(refine_iters=50), chunk=128))
+    early, iters = crf_soft_single(
+        jnp.asarray(rgb), jnp.asarray(mask),
+        CRFParams(refine_iters=50, stable_exit=True), chunk=128, return_iters=True)
+    assert (np.asarray(early) == fixed).all()
+    assert int(iters) < 50
+
+
+def test_stable_exit_under_vmap_freezes_converged_images():
+    """vmap over the while_loop: each image keeps its own early-exit MAP even
+    when another image in the batch needs more iterations."""
+    rng = np.random.default_rng(5)
+    h, w = 16, 16
+    rgbs = rng.integers(0, 255, (3, h, w, 3), np.uint8)
+    rgbs[0, :, : w // 2] = [200, 0, 0]
+    rgbs[0, :, w // 2:] = [0, 0, 200]
+    masks = rng.random((3, h, w)).astype(np.float32)
+    params = CRFParams(refine_iters=25, stable_exit=True)
+
+    batched = jax.vmap(
+        lambda im, mk: crf_soft_single(im, mk, params, chunk=64)
+    )(jnp.asarray(rgbs), jnp.asarray(masks))
+    singles = [np.asarray(crf_soft_single(jnp.asarray(rgbs[i]), jnp.asarray(masks[i]),
+                                          params, chunk=64)) for i in range(3)]
+    for i in range(3):
+        assert (np.asarray(batched[i]) == singles[i]).all(), f"image {i}"
+
+
+def test_stable_exit_safe_under_grad_with_stop_gradient():
+    """The in-training target path wraps the CRF input in stop_gradient; the
+    data-dependent while_loop must not break jax.grad of the surrounding
+    loss (train/step.py builds exactly this shape)."""
+    rng = np.random.default_rng(6)
+    h, w = 12, 12
+    rgb = jnp.asarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+    params = CRFParams(refine_iters=10, stable_exit=True)
+
+    def loss(theta):
+        mask = jax.nn.sigmoid(theta)
+        target = crf_soft_single(rgb, jax.lax.stop_gradient(mask), params, chunk=64)
+        return jnp.mean((mask - target) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(rng.normal(0, 1, (h, w)), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
