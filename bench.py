@@ -208,6 +208,9 @@ def _bench_fingerprint(recipe: str, dtype_name: str, batch_per_chip: int) -> dic
         # identity so an artifact saved with one default can never silently
         # shadow an A/B run with the other (BENCH_AMD_WHOLE).
         fp["whole_flow"] = os.environ.get("BENCH_AMD_WHOLE", "0") == "1"
+    if recipe == "stage21":
+        # Same rule for the CRF early-out knob (BENCH_CRF_SE).
+        fp["stable_exit"] = os.environ.get("BENCH_CRF_SE", "1") == "1"
     return fp
 
 
@@ -251,7 +254,12 @@ def _stage_kwargs(recipe: str):
         mk.update(w_seg=1.0, w_entropy=0.0, w_crf=10.0, crf_use_ema=True,
                   crf_pos_weight=2.0, crf_neg_weight=1.0, ema_m=0.999)
         mk["decode_head2"]["create_ema"] = True
-        mk["crf_head"] = {"type": "CRFHead", "resolution": [96, 96]}
+        # stable_exit matches the shipped stage-2.1 default (MAP-stability
+        # early-out, 99.95% MAP agreement vs fixed-50 at this grid —
+        # tools/validate_crf_stable_exit.py). BENCH_CRF_SE=0 restores the
+        # reference's fixed 50 iterations for A/Bs.
+        mk["crf_head"] = {"type": "CRFHead", "resolution": [96, 96],
+                          "stable_exit": os.environ.get("BENCH_CRF_SE", "1") == "1"}
     else:
         # The published stage-1 recipe trains WITHOUT EMA
         # (configs/rcf/rcf_stage1.yaml; EMA appears in stage 2.1).

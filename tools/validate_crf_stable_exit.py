@@ -49,8 +49,9 @@ def main() -> None:
     for rgb, mask in _synthetic_frames():
         cases.append(("synthetic", rgb, mask))
 
+    grids = tuple(int(g) for g in os.environ.get("RCF_SE_GRIDS", "96,192").split(","))
     out = {"cap_iters": 50}
-    for grid in (96, 192):
+    for grid in grids:
         agreements: dict = {"real": [], "synthetic": []}
         iters_used: list[int] = []
         for kind, rgb, mask in cases:
