@@ -132,6 +132,9 @@ def main() -> int:
     ap.add_argument("--crf-resolution", default=None,
                     help="stage-2.1 in-training CRF grid override: e.g. 96, 192, "
                          "or 'null' (full mask resolution) — the VERDICT r3 #3 A/B knob")
+    ap.add_argument("--crf-stable-exit", type=int, default=None, choices=[0, 1],
+                    help="stage-2.1 CRF MAP-stability early-out override "
+                         "(default: config's; 0 = reference fixed-50 iterations)")
     args = ap.parse_args()
 
     work = os.path.abspath(args.work)
@@ -209,6 +212,9 @@ def main() -> int:
                    else [int(args.crf_resolution)] * 2)
             opts["model_kwargs.crf_head.resolution"] = res
             st.set("crf_resolution", args.crf_resolution)
+        if args.crf_stable_exit is not None:
+            opts["model_kwargs.crf_head.stable_exit"] = bool(args.crf_stable_exit)
+            st.set("crf_stable_exit", args.crf_stable_exit)
         out = _cli("configs/rcf/rcf_stage2.1.yaml", opts)
         st.set("stage21_miou", _last_miou(out))
 
