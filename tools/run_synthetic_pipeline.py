@@ -64,9 +64,14 @@ def _cli(config, opts, extra_flags=(), check=True):
     for attempt in range(1, attempts + 1):
         print("[pipeline] $", " ".join(cmd), flush=True)
         rc, stalled = supervise(cmd, hb_path, log_path, cwd=REPO)
-        if not stalled:
+        if not stalled and rc == 0:
             break
-        print(f"[pipeline] WATCHDOG: {config} heartbeat stalled — killed; "
+        # Retry BOTH verdicts: heartbeat stalls (hung RPC, killed) and
+        # nonzero exits — the relay also fails fast sometimes (observed
+        # 2026-08-21: "remote_compile: read body: response body closed"
+        # mid-trace, rc=1) and auto-resume makes a re-run cheap.
+        why = "heartbeat stalled — killed" if stalled else f"rc={rc}"
+        print(f"[pipeline] WATCHDOG: {config} {why}; "
               f"{'retrying' if attempt < attempts else 'giving up'}", flush=True)
     output = ""
     try:
