@@ -157,3 +157,26 @@ def test_beat_scratch_file_not_seen_as_host_file(tmp_path):
     hb1.beat()
     names = sorted(os.listdir(tmp_path))
     assert names == [".heartbeat.h1"], names
+
+
+def test_supervise_kills_when_nonzero_host_stalls(tmp_path):
+    """Integration shape of VERDICT r4 #7: a real supervised child whose
+    'process 0' keeps beating while its 'process 1' beat file goes silent —
+    the monitor must kill on host 1's stall, not wait for host 0."""
+    hb_path = str(tmp_path / ".heartbeat")
+    child = (
+        "import sys, time, threading;"
+        "sys.path.insert(0, %r);"
+        "from rcf_tpu.utils.watchdog import Heartbeat;"
+        "hb0 = Heartbeat(%r, host=0); hb1 = Heartbeat(%r, host=1);"
+        "hb1.beat(grace=0.5);"  # host 1 beats once, then hangs
+        "threading.Thread(target=lambda: [hb0.beat(60.0) or time.sleep(0.2)"
+        " for _ in range(3000)], daemon=True).start();"
+        "print('beaten', flush=True); time.sleep(600)"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         str(tmp_path), str(tmp_path))
+    t0 = time.time()
+    rc, stalled = supervise([sys.executable, "-c", child], hb_path,
+                            str(tmp_path / "log"), poll_s=0.1)
+    assert (rc, stalled) == (None, True)
+    assert time.time() - t0 < 60.0  # killed on host-1's grace, not the sleep
