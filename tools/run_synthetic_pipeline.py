@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # the watchdog import must work from any CWD
     sys.path.insert(0, REPO)
 ALL_STAGES = ["data", "stage1", "export1", "maa", "stage21", "export_ema",
-              "sc", "stage22", "davis_eval"]
+              "sc", "stage22", "davis_eval", "pp"]
 
 
 def _run(cmd, **kw):
@@ -287,6 +287,30 @@ def main() -> int:
             if m:
                 st.set(f"{name}_jmean", float(m.group(1)))
             sys.stderr.write(proc.stdout[-1500:])
+
+    if "pp" in stages:
+        # Final rung (reference README.md:193 + crf_parallel.sh): dense-CRF
+        # post-processing of the last stage's exported val masks at full
+        # resolution, scored by the official evaluator.
+        for name, ckdir in (("stage22", s22_dir), ("stage1", s1_dir)):
+            exp = os.path.join(ckdir, "saved_eval_export", str(ch))
+            if not os.path.isdir(exp):
+                continue
+            proc = _run([sys.executable, "-m", "rcf_tpu.eval.crf_pp",
+                         "--input", os.path.join(data_root, "JPEGImages", "480p"),
+                         "--annotation-dir", exp, "--step", "0", "--allow_skip"])
+            if proc.returncode != 0:
+                print(f"[pipeline] crf_pp failed for {name}; skipping", flush=True)
+                continue
+            proc = _run([sys.executable, "-m", "rcf_tpu.eval.davis",
+                         "--davis_path", data_root, "--results_path", exp + "_crf",
+                         "--set", "val", "--year", "2016", "--step", "0"],
+                        capture_output=True, text=True)
+            m = re.search(r"J&F-Mean.*\n([0-9.]+),([0-9.]+)", proc.stdout)
+            if m:
+                st.set(f"{name}_pp_jf", float(m.group(1)))
+                st.set(f"{name}_pp_jmean", float(m.group(2)))
+            sys.stderr.write(proc.stdout[-800:])
 
     print(json.dumps(st.d))
     return 0
