@@ -69,6 +69,13 @@ def save_checkpoint(ckpt_dir: str, name: str, state) -> str:
         shutil.rmtree(prev, ignore_errors=True)
         os.rename(path, prev)       # last -> last.prev (complete)
         os.rename(save_path, path)  # last.tmp -> last (complete)
+    elif name == "last":
+        # Direct save (no previous `last`): drop any stale last.tmp left by
+        # an interrupted swap so it can't outlive this newer checkpoint in
+        # find_resumable's fallback order.
+        import shutil
+
+        shutil.rmtree(path + ".tmp", ignore_errors=True)
     return path
 
 

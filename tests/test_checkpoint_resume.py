@@ -145,3 +145,13 @@ def test_object_channel_roundtrip(tmp_path):
     assert _load_object_channel(str(tmp_path)) is None
     _save_object_channel(str(tmp_path), 2, epoch=4)
     assert _load_object_channel(str(tmp_path)) == 2
+
+
+def test_direct_last_save_clears_stale_tmp(tmp_path):
+    """A last.tmp left by an interrupted swap must not outlive a NEWER
+    direct `last` save in find_resumable's fallback order."""
+    os.makedirs(tmp_path / "last.tmp")  # stale leftover, no `last`
+    s = _make_state(step=3)
+    save_checkpoint(str(tmp_path), "last", s)
+    assert not os.path.isdir(tmp_path / "last.tmp")
+    assert find_resumable(str(tmp_path)).endswith("last")
