@@ -61,7 +61,14 @@ def save_checkpoint(ckpt_dir: str, name: str, state) -> str:
     rotate = name == "last" and os.path.isdir(path)
     save_path = path + ".tmp" if rotate else path
     with ocp.StandardCheckpointer() as saver:
+        # Collective under multi-host (orbax coordinates the commit across
+        # processes); it returns on every process only after finalization.
         saver.save(save_path, tree, force=True)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # The rename/cleanup below are single-writer filesystem mutations:
+        # on a shared filesystem a second process racing the same renames
+        # would see ENOENT. find_resumable tolerates reading mid-rotation.
+        return path
     if rotate:
         import shutil
 
@@ -188,13 +195,20 @@ class TopKKeeper:
         save_checkpoint(self.ckpt_dir, "last", state)
         if len(self.kept) < self.k or metric > min(m for m, _ in self.kept):
             name = f"ckpt_{tag}_miou{metric:.4f}"
+            # Collective: every process participates in the orbax save; the
+            # kept-list bookkeeping stays in sync on all processes (metric
+            # is a replicated global), but eviction rmtree + topk.json are
+            # single-writer mutations (process 0 only).
             save_checkpoint(self.ckpt_dir, name, state)
             self.kept.append((metric, name))
             self.kept.sort(key=lambda t: -t[0])
+            single_writer = jax.process_index() == 0
             for _, old in self.kept[self.k :]:
-                shutil.rmtree(os.path.join(self.ckpt_dir, old), ignore_errors=True)
+                if single_writer:
+                    shutil.rmtree(os.path.join(self.ckpt_dir, old), ignore_errors=True)
             self.kept = self.kept[: self.k]
-            self._persist()
+            if single_writer:
+                self._persist()
 
 
 # ---------------------------------------------------------------------------

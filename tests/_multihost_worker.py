@@ -121,6 +121,28 @@ def main():
             print(f"MULTIHOST_EXPORT {pid} " + ",".join(sorted(exporter.written)),
                   flush=True)
 
+        # ---- checkpoint smoke: collective orbax save + single-writer ----
+        # `last` rotation. Saving TWICE exercises the rotation path
+        # (last -> last.prev); without process-0 gating the second
+        # process's os.rename would race ENOENT on the shared dir.
+        if shared_dir:
+            from rcf_tpu.train.checkpoint import (TopKKeeper, find_resumable,
+                                                  restore_checkpoint)
+
+            ck_dir = os.path.join(shared_dir, "ckpt")
+            os.makedirs(ck_dir, exist_ok=True)
+            keeper = TopKKeeper(ck_dir, k=2)
+            keeper.save(state, 0.5, tag="e0")
+            keeper.save(state, 0.7, tag="e1")  # rotates last -> last.prev
+            resumable = find_resumable(ck_dir)
+            restored = restore_checkpoint(resumable, state)
+            step_val = int(np.asarray(
+                restored.step.addressable_data(0)
+                if hasattr(restored.step, "addressable_data") else restored.step))
+            print(f"MULTIHOST_CKPT {pid} {os.path.basename(resumable)} "
+                  f"{step_val} {int(os.path.isdir(os.path.join(ck_dir, 'last.prev')))}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

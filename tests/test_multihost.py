@@ -45,7 +45,7 @@ def test_two_process_train_step(tmp_path, davis_like):
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
 
-    losses, evals, vis_counts, exported = {}, {}, {}, {}
+    losses, evals, vis_counts, exported, ckpts = {}, {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
@@ -61,6 +61,9 @@ def test_two_process_train_step(tmp_path, davis_like):
                 parts = line.split(" ", 2)
                 names = parts[2].split(",") if len(parts) > 2 and parts[2] else []
                 exported[int(parts[1])] = set(names)
+            elif line.startswith("MULTIHOST_CKPT"):
+                _, pid, resumable, step_val, has_prev = line.split()
+                ckpts[int(pid)] = (resumable, int(step_val), int(has_prev))
     assert set(losses) == {0, 1}, outs
     # Both processes observe the same global loss.
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
@@ -80,6 +83,16 @@ def test_two_process_train_step(tmp_path, davis_like):
     assert not (exported[0] & exported[1]), exported
     on_disk = {p.name for p in (shared / "export").glob("*.png")}
     assert (exported[0] | exported[1]) == on_disk and on_disk, exported
+
+    # Checkpoint smoke under 2 real processes: the collective orbax save
+    # succeeded on both, the SECOND save rotated last -> last.prev without
+    # a cross-process rename race (single-writer gating in save_checkpoint),
+    # and both processes restore the same resumable checkpoint.
+    assert set(ckpts) == {0, 1}, outs
+    assert ckpts[0] == ckpts[1]
+    resumable, step_val, has_prev = ckpts[0]
+    assert resumable == "last" and has_prev == 1
+    assert step_val == 1  # one train step ran before the save
 
     # Single-process reference on the SAME global batch (8 virtual devices).
     ref = subprocess.run(
